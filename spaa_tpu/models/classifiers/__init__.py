@@ -1,0 +1,195 @@
+"""Classifier zoo: ResNet-18 / VGG-16 / Inception-v3 (Flax, frozen).
+
+Re-design of reference ``classifier.py``. The reference's
+``Classifier.classify`` pipeline (``classifier.py:55-72``) is reproduced as
+a *pure jittable function*: uint8→float, center-crop to ``crop_sz``,
+'area' resize to the model input size, ImageNet normalize, CNN forward —
+returning differentiable raw logits. The host-facing ``Classifier`` class
+keeps the reference's ``(raw_score, p_sorted, idx)`` return convention.
+
+Weights: converted from user-supplied pinned torchvision checkpoints when
+available (``classifier.py:24-33`` URLs; this image has no egress), cached
+as .npz; otherwise deterministic random init so every pipeline stays
+runnable end-to-end.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from os.path import join
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spaa_tpu.models.classifiers.inception import InceptionV3
+from spaa_tpu.models.classifiers.resnet import ResNet18
+from spaa_tpu.models.classifiers.vgg import VGG16
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+# pinned legacy checkpoints (ref classifier.py:24-33); used to locate local
+# copies by basename and documented for offline conversion
+PRETRAINED_URLS = {
+    "vgg16": "https://download.pytorch.org/models/vgg16-397923af.pth",
+    "resnet18": "https://download.pytorch.org/models/resnet18-5c106cde.pth",
+    "inception_v3": "https://download.pytorch.org/models/inception_v3_google-0cc3c7bd.pth",
+}
+
+_MODELS = {
+    "resnet18": (ResNet18, (224, 224)),
+    "vgg16": (VGG16, (224, 224)),
+    "inception_v3": (InceptionV3, (299, 299)),
+}
+
+
+def normalize_imagenet(im: jax.Array) -> jax.Array:
+    """ImageNet standardization, NHWC."""
+    return (im - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+
+
+def unnormalize_imagenet(im: jax.Array) -> jax.Array:
+    """Inverse of :func:`normalize_imagenet` (ref ``UnNormalize``,
+    ``classifier.py:79-94``)."""
+    return im * jnp.asarray(IMAGENET_STD) + jnp.asarray(IMAGENET_MEAN)
+
+
+def make_logits_fn(model_name: str) -> Callable:
+    """Returns ``logits_fn(params, im, crop_sz)``: the full differentiable
+    classify pipeline on NHWC [0,1] images (ref ``classifier.py:55-60``).
+    ``crop_sz`` must be static (python ints)."""
+    from spaa_tpu.ops.image import center_crop, expand_4d, resize_area
+    cls, input_sz = _MODELS[model_name]
+    model = cls()
+
+    def logits_fn(params, im, crop_sz=(240, 240)):
+        im = expand_4d(im)
+        im = center_crop(im, crop_sz)
+        im = resize_area(im, input_sz)
+        im = normalize_imagenet(im)
+        return model.apply({"params": params}, im)
+
+    return logits_fn
+
+
+def init_params(model_name: str, seed: int = 0):
+    """Deterministic random-init params (offline fallback; NOT the pinned
+    pretrained weights — conversion path below provides those)."""
+    cls, input_sz = _MODELS[model_name]
+    model = cls()
+    dummy = jnp.zeros((1, *input_sz, 3), jnp.float32)
+    return model.init(jax.random.PRNGKey(seed), dummy)["params"]
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat):
+    tree: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_params_npz(params, path: str) -> None:
+    np.savez(path, **_flatten(jax.tree.map(np.asarray, params)))
+
+
+def load_params_npz(path: str):
+    with np.load(path) as data:
+        return _unflatten({k: data[k] for k in data.files})
+
+
+def load_params(model_name: str, weights_dir: Optional[str] = None,
+                seed: int = 0, verbose: bool = True):
+    """Resolve classifier params: converted-.npz cache → torch .pth
+    (converted + cached) → deterministic random init."""
+    if weights_dir:
+        npz = join(weights_dir, f"{model_name}.npz")
+        if os.path.exists(npz):
+            return load_params_npz(npz)
+        pth = join(weights_dir, os.path.basename(PRETRAINED_URLS[model_name]))
+        if os.path.exists(pth):
+            from spaa_tpu.models.classifiers.convert import (
+                convert_state_dict, load_torch_checkpoint)
+            params = convert_state_dict(model_name, load_torch_checkpoint(pth))
+            save_params_npz(params, npz)
+            return load_params_npz(npz)
+    if verbose:
+        print(f"[classifiers] no pretrained weights for {model_name} "
+              f"(searched {weights_dir}); using deterministic random init")
+    return init_params(model_name, seed)
+
+
+class Classifier:
+    """Host-facing wrapper with the reference's return convention
+    (``classifier.py:55-75``): ``classify(im, crop_sz)`` →
+    (raw_score [jnp, differentiable], p_sorted [np], idx [np])."""
+
+    def __init__(self, model_name: str, weights_dir: Optional[str] = None,
+                 fix_params: bool = True, sort_results: bool = True,
+                 seed: int = 0):
+        assert model_name in _MODELS, f"{model_name} not supported"
+        self.name = model_name
+        self.input_sz = _MODELS[model_name][1]
+        self.sort_results = sort_results
+        self.fix_params = fix_params
+        self.params = load_params(model_name, weights_dir, seed)
+        self._logits_fn = make_logits_fn(model_name)
+        self._jitted = jax.jit(self._logits_fn, static_argnums=(2,))
+
+    def logits(self, im: jax.Array, crop_sz=(240, 240)) -> jax.Array:
+        return self._jitted(self.params, im, tuple(int(c) for c in crop_sz))
+
+    def classify(self, im, crop_sz=(240, 240)):
+        im = jnp.asarray(im)
+        if im.dtype == jnp.uint8:
+            im = im.astype(jnp.float32) / 255.0
+        raw = self.logits(im, crop_sz)
+        p = jax.nn.softmax(raw, axis=1)
+        p_np = np.asarray(p)
+        if self.sort_results:
+            idx = np.argsort(-p_np, axis=1)
+            p_sorted = np.take_along_axis(p_np, idx, axis=1)
+        else:
+            p_sorted = p_np
+            idx = np.tile(np.arange(p_np.shape[1]), (p_np.shape[0], 1))
+        return raw, p_sorted, idx
+
+    def __call__(self, im, crop_sz=(240, 240)):
+        return self.classify(im, crop_sz)
+
+
+def query_multi_classifiers(im, cp_sz, classifier_names, imagenet_labels,
+                            weights_dir=None):
+    """Ref ``classifier.py:97-106``: agreement check across the zoo."""
+    labels, confidence = [], []
+    for name in classifier_names:
+        clf = Classifier(name, weights_dir, fix_params=True, sort_results=False)
+        _, p, _ = clf(im, cp_sz)
+        labels.append(imagenet_labels[int(p.argmax())])
+        confidence.append(float(p.max()))
+        print(f"{name:<15}: {labels[-1]:<20} ({confidence[-1]:.2f})")
+    return labels, confidence
+
+
+def load_imagenet_labels(filename: str) -> dict:
+    """Ref ``classifier.py:109-116``: {idx: short_label}."""
+    with open(filename) as f:
+        imagenet_labels = eval(f.read())  # the file is a python dict literal
+    return {k: v.split(",")[0] for k, v in imagenet_labels.items()}

@@ -1,0 +1,102 @@
+"""ShadingNetSPAA: the photometric/relighting CNN of PCNet.
+
+Re-design of reference ``models.py:214-303`` in Flax/NHWC: a two-branch
+encoder-decoder. The backbone encodes the warped projector image; a surface
+branch encodes the (scene ⊕ rough-render) conditioning and is *added* into
+the backbone at each scale. ``simplify`` precomputes the surface-branch
+activations once per scene so the attack hot loop only runs the backbone
+(ref ``models.py:267-277``).
+
+Channel plan (exactly the reference's):
+  backbone:  3→32(s2)→64(s2)→128→256→128, then up 128→64(s2)→32(s2)→3
+  surface:   6 (or 3 w/o rough)→32(s2)→64(s2)→128→256
+  skips:     skipConv1 3→3→3→3 (1x1,3x3,3x3), skipConv2 32→64 1x1,
+             skipConv3 64→128 3x3
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from spaa_tpu.models.layers import Conv2dTorch, ConvTranspose2dTorch
+
+
+class SurfaceFeatures(NamedTuple):
+    """Cached surface-branch activations (the `simplify` biases)."""
+    res1: jax.Array
+    res2: jax.Array
+    res3: jax.Array
+    res4: jax.Array
+
+
+class ShadingNetSPAA(nn.Module):
+    use_rough: bool = True
+
+    @property
+    def model_name(self) -> str:
+        return "ShadingNetSPAA" if self.use_rough else "ShadingNetSPAA_no_rough"
+
+    def setup(self):
+        relu = nn.relu
+        self.conv1 = Conv2dTorch(32, 3, 2, 1, name="conv1")
+        self.conv2 = Conv2dTorch(64, 3, 2, 1, name="conv2")
+        self.conv3 = Conv2dTorch(128, 3, 1, 1, name="conv3")
+        self.conv4 = Conv2dTorch(256, 3, 1, 1, name="conv4")
+        self.conv5 = Conv2dTorch(128, 3, 1, 1, name="conv5")
+
+        self.conv1_s = Conv2dTorch(32, 3, 2, 1, name="conv1_s")
+        self.conv2_s = Conv2dTorch(64, 3, 2, 1, name="conv2_s")
+        self.conv3_s = Conv2dTorch(128, 3, 1, 1, name="conv3_s")
+        self.conv4_s = Conv2dTorch(256, 3, 1, 1, name="conv4_s")
+
+        # ref models.py:237-238: transConv1 has output_padding=1 with k=3
+        self.trans_conv1 = ConvTranspose2dTorch(64, 3, 2, 1, 1, name="transConv1")
+        self.trans_conv2 = ConvTranspose2dTorch(32, 2, 2, 0, name="transConv2")
+        self.conv6 = Conv2dTorch(3, 3, 1, 1, name="conv6")
+
+        self.skip1a = Conv2dTorch(3, 1, 1, 0, name="skipConv1_0")
+        self.skip1b = Conv2dTorch(3, 3, 1, 1, name="skipConv1_2")
+        self.skip1c = Conv2dTorch(3, 3, 1, 1, name="skipConv1_4")
+        self.skip2 = Conv2dTorch(64, 1, 1, 0, name="skipConv2")
+        self.skip3 = Conv2dTorch(128, 3, 1, 1, name="skipConv3")
+        del relu
+
+    def surface_features(self, *surfaces: jax.Array) -> SurfaceFeatures:
+        """Encode the conditioning surfaces (s[, rough]) once.
+        Equivalent to ref ``simplify`` (``models.py:268-277``) but
+        functional: the returned tuple is passed back into ``__call__``."""
+        s = jnp.concatenate(surfaces, axis=-1)
+        r1 = nn.relu(self.conv1_s(s))
+        r2 = nn.relu(self.conv2_s(r1))
+        r3 = nn.relu(self.conv3_s(r2))
+        r4 = nn.relu(self.conv4_s(r3))
+        return SurfaceFeatures(r1, r2, r3, r4)
+
+    def __call__(self, x: jax.Array, *surfaces: jax.Array,
+                 surface_feats: Optional[SurfaceFeatures] = None) -> jax.Array:
+        """x: warped projector image NHWC. surfaces: (s,) or (s, rough).
+        Ref forward ``models.py:280-303`` (skipConv1 runs on s, line 291)."""
+        if surface_feats is None:
+            sf = self.surface_features(*surfaces)
+        else:
+            sf = surface_feats
+
+        res1 = nn.relu(self.skip1a(surfaces[0]))
+        res1 = nn.relu(self.skip1b(res1))
+        res1 = nn.relu(self.skip1c(res1))
+
+        h = nn.relu(self.conv1(x) + sf.res1)
+        res2 = self.skip2(h)
+        h = nn.relu(self.conv2(h) + sf.res2)
+        res3 = self.skip3(h)
+        h = nn.relu(self.conv3(h) + sf.res3)
+        h = nn.relu(self.conv4(h) + sf.res4)
+        h = nn.relu(self.conv5(h) + res3)
+        h = nn.relu(self.trans_conv1(h) + res2)
+        h = nn.relu(self.trans_conv2(h))
+        h = jnp.minimum(nn.relu(self.conv6(h) + res1), 1.0)
+        return h

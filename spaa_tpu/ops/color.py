@@ -1,0 +1,185 @@
+"""Differentiable color science: sRGB→XYZ→CIELAB and CIEDE2000 ΔE maps.
+
+Re-derivation in JAX/NHWC of the masked-tensor color pipeline the SPAA and
+PerC-AL attackers optimize through (reference
+``perc_al/differential_color_functions.py``, itself from Zhao et al.
+CVPR'20). The exact constants and masking idiosyncrasies of the reference
+are kept on purpose (sRGB linearization threshold 0.0405, the +1e-4
+epsilons, zero-chroma masks) because attack stealthiness parity depends on
+the exact loss surface.
+
+The whole chain is branchless elementwise math (`jnp.where`), which XLA
+fuses into a handful of VPU kernels; a fused Pallas variant is provided in
+``spaa_tpu.ops.pallas.ciede2000`` for the hot attack loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# sRGB -> XYZ (D65) matrix, same values as ref differential_color_functions.py:13-15
+_RGB2XYZ = np.array([[0.4124, 0.3576, 0.1805],
+                     [0.2126, 0.7152, 0.0722],
+                     [0.0193, 0.1192, 0.9504]], np.float32)
+
+_XN, _YN, _ZN = 95.0489, 100.0, 108.8840  # D65 reference white (ref :49-51)
+
+
+def rgb2xyz(rgb: jax.Array) -> jax.Array:
+    """[..., 3] sRGB in [0,1] -> XYZ scaled by 100. Ref ``:12-24``."""
+    linear = jnp.where(rgb > 0.0405,
+                       ((rgb + 0.055) / 1.055) ** 2.4,
+                       rgb / 12.92)
+    linear = 100.0 * linear
+    return jnp.einsum("...c,kc->...k", linear, jnp.asarray(_RGB2XYZ),
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _xyz_lab_f(t: jax.Array) -> jax.Array:
+    """The f() nonlinearity with the reference's zero-input masking
+    (ref ``:27-36``): exact zeros stay zero, cube-root branch uses t+1e-4
+    guard to avoid inf grads."""
+    is_zero = (t == 0.0)
+    t_safe = t + 1e-4 * is_zero.astype(t.dtype)
+    f = jnp.where(t_safe > 0.008856,
+                  jnp.cbrt(t_safe),
+                  7.787 * t_safe + 16.0 / 116.0)
+    return f * (1.0 - is_zero.astype(t.dtype))
+
+
+def rgb2lab_diff(rgb: jax.Array) -> jax.Array:
+    """Differentiable sRGB -> CIELAB, NHWC [..., 3] -> [..., 3] (L, a, b).
+    Ref ``:39-64`` (named `_diff` there for 'differentiable')."""
+    xyz = rgb2xyz(rgb)
+    fx = _xyz_lab_f(xyz[..., 0] / _XN)
+    fy = _xyz_lab_f(xyz[..., 1] / _YN)
+    fz = _xyz_lab_f(xyz[..., 2] / _ZN)
+    l = 116.0 * fy - 16.0
+    a = 500.0 * (fx - fy)
+    b = 200.0 * (fy - fz)
+    return jnp.stack([l, a, b], axis=-1)
+
+
+def _degrees(x):
+    return x * (180.0 / jnp.pi)
+
+
+def _radians(x):
+    return x * (jnp.pi / 180.0)
+
+
+def _hpf(x, y):
+    """Hue angle in degrees in [0, 360), masked at (0,0). Ref ``:73-81``."""
+    zero = ((x == 0) & (y == 0)).astype(x.dtype)
+    nz = 1.0 - zero
+    h = _degrees(jnp.arctan2(x * nz, y * nz))
+    return jnp.where(h >= 0, h, h + 360.0) * nz + 0.0
+
+
+def _dhpf(c1, c2, h1p, h2p):
+    """Hue difference, wrapped to (-180, 180], zero when either chroma is 0.
+    Ref ``:84-91``."""
+    nz = 1.0 - ((c1 * c2) == 0).astype(c1.dtype)
+    d = h2p - h1p
+    d = jnp.where(d > 180.0, d - 360.0, jnp.where(d < -180.0, d + 360.0, d))
+    return d * nz
+
+
+def _ahpf(c1, c2, h1p, h2p):
+    """Average hue, with the reference's exact mask arithmetic
+    (ref ``:94-106`` — note when chroma is zero the reference returns
+    (h1p+h2p)/2 * ... via its `res * mask1` term)."""
+    zero = ((c1 * c2) == 0).astype(c1.dtype)
+    nz = 1.0 - zero
+    near = (jnp.abs(h2p - h1p) <= 180.0).astype(c1.dtype)
+    far = 1.0 - near
+    wrap_lo = (jnp.abs(h2p + h1p) < 360.0).astype(c1.dtype)
+    s = h1p + h2p
+    res = s * nz * near + (s + 360.0) * nz * far * wrap_lo \
+        + (s - 360.0) * nz * far * (1.0 - wrap_lo)
+    res = res + res * zero
+    return res * 0.5
+
+
+def ciede2000_diff(lab1: jax.Array, lab2: jax.Array,
+                   standard: bool = False) -> jax.Array:
+    """CIEDE2000 color-difference map.
+
+    lab1, lab2: [N, H, W, 3] CIELAB. Returns ΔE00 map [N, H, W].
+    Faithful to ref ``differential_color_functions.py:109-180`` including
+    its neutral-axis masking and sqrt guards (the loss surface the SPAA
+    `camdE` stealthiness term optimizes, ``projector_based_attack.py:283``).
+
+    Known deviation of the reference from the Sharma/CIE standard: its T
+    term uses ``cos(h̄' − 39°)`` where the standard formula uses 30°
+    (ref ``:160``). Default keeps reference behavior for benchmark-table
+    parity; pass ``standard=True`` for the textbook formula (verified
+    against the Sharma et al. 2005 test pairs).
+    """
+    l1, a1, b1 = lab1[..., 0], lab1[..., 1], lab1[..., 2]
+    l2, a2, b2 = lab2[..., 0], lab2[..., 1], lab2[..., 2]
+
+    zero1 = ((a1 == 0) & (b1 == 0)).astype(l1.dtype)
+    zero2 = ((a2 == 0) & (b2 == 0)).astype(l1.dtype)
+    nz1 = 1.0 - zero1
+    nz2 = 1.0 - zero2
+    b1 = b1 + 1e-4 * zero1
+    b2 = b2 + 1e-4 * zero2
+
+    c1 = jnp.sqrt(a1 * a1 + b1 * b1)
+    c2 = jnp.sqrt(a2 * a2 + b2 * b2)
+    ac = (c1 + c2) / 2.0
+
+    ac7 = ac ** 7.0
+    g = 0.5 * (1.0 - jnp.sqrt(ac7 / (ac7 + 25.0 ** 7.0)))
+    a1p = (1.0 + g) * a1
+    a2p = (1.0 + g) * a2
+    c1p = jnp.sqrt(a1p * a1p + b1 * b1)
+    c2p = jnp.sqrt(a2p * a2p + b2 * b2)
+
+    h1p = _hpf(b1, a1p) * nz1
+    h2p = _hpf(b2, a2p) * nz2
+
+    dlp = l2 - l1
+    dcp = c2p - c1p
+    dhp = _dhpf(c1, c2, h1p, h2p)
+    dhp_big = 2.0 * jnp.sqrt(c1p * c2p) * jnp.sin(_radians(dhp) / 2.0)
+    nz_both = 1.0 - jnp.maximum(zero1, zero2)
+    dhp_big = dhp_big * nz_both
+
+    al = (l1 + l2) / 2.0
+    acp = (c1p + c2p) / 2.0
+    ahp = _ahpf(c1, c2, h1p, h2p)
+    t_shift = 30.0 if standard else 39.0
+    t = (1.0 - 0.17 * jnp.cos(_radians(ahp - t_shift))
+         + 0.24 * jnp.cos(_radians(2.0 * ahp))
+         + 0.32 * jnp.cos(_radians(3.0 * ahp + 6.0))
+         - 0.2 * jnp.cos(_radians(4.0 * ahp - 63.0)))
+    dro = 30.0 * jnp.exp(-(((ahp - 275.0) / 25.0) ** 2.0))
+    acp7 = acp ** 7.0
+    rc = jnp.sqrt(acp7 / (acp7 + 25.0 ** 7.0))
+    al50sq = (al - 50.0) ** 2.0
+    sl = 1.0 + 0.015 * al50sq / jnp.sqrt(20.0 + al50sq)
+    sc = 1.0 + 0.045 * acp
+    sh = 1.0 + 0.015 * acp * t
+    rt = -2.0 * rc * jnp.sin(_radians(2.0 * dro))
+
+    term_l = dlp / sl
+    term_c = dcp / sc
+    term_h = dhp_big / sh
+    res_sq = (term_l * term_l + term_c * term_c * nz_both
+              + term_h * term_h * nz_both + rt * term_c * term_h * nz_both)
+    nonpos = (res_sq <= 0).astype(res_sq.dtype)
+    res = jnp.sqrt(res_sq + 1e-4 * nonpos)
+    return res * (1.0 - nonpos)
+
+
+def deltaE(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Scalar mean CIEDE2000 between two NHWC RGB images.
+    Ref ``differential_color_functions.py:183-190``."""
+    from spaa_tpu.ops.image import expand_4d
+    x = expand_4d(x)
+    y = expand_4d(y)
+    return jnp.mean(ciede2000_diff(rgb2lab_diff(x), rgb2lab_diff(y)))

@@ -1,0 +1,124 @@
+"""Model-layer tests: torch-parity of conv/convT wrappers, shapes and
+gradient flow of WarpingNet / ShadingNetSPAA / CompenNet(++) / PCNet."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from spaa_tpu.models import (CompenNet, CompenNetPlusplus, PCNet,
+                             ShadingNetSPAA, WarpingNet, affine_from_corners)
+from spaa_tpu.models.layers import Conv2dTorch, ConvTranspose2dTorch
+
+
+@pytest.mark.parametrize("k,s,p", [(3, 2, 1), (3, 1, 1), (1, 1, 0), (7, 2, 3)])
+def test_conv2d_matches_torch(rng, k, s, p):
+    x = rng.random((2, 8, 10, 3), np.float32)
+    w = rng.random((k, k, 3, 5), np.float32) - 0.5
+    b = rng.random((5,), np.float32)
+    mod = Conv2dTorch(5, k, s, p)
+    out = mod.apply({"params": {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}},
+                    jnp.asarray(x))
+    tw = torch.from_numpy(np.transpose(w, (3, 2, 0, 1)))  # HWIO->OIHW
+    ref = F.conv2d(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))), tw,
+                   torch.from_numpy(b), stride=s, padding=p).numpy()
+    np.testing.assert_allclose(np.asarray(out), np.transpose(ref, (0, 2, 3, 1)),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("k,s,p,op", [(2, 2, 0, 0), (3, 2, 1, 1)])
+def test_conv_transpose2d_matches_torch(rng, k, s, p, op):
+    x = rng.random((2, 5, 6, 4), np.float32)
+    # our layout: HWIO with I=cin; torch convT weight is (cin, cout, kh, kw)
+    w = rng.random((k, k, 4, 3), np.float32) - 0.5
+    b = rng.random((3,), np.float32)
+    mod = ConvTranspose2dTorch(3, k, s, p, op)
+    out = mod.apply({"params": {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}},
+                    jnp.asarray(x))
+    tw = torch.from_numpy(np.transpose(w, (2, 3, 0, 1)))  # HWIO->(cin,cout,kh,kw)
+    ref = F.conv_transpose2d(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))),
+                             tw, torch.from_numpy(b), stride=s, padding=p,
+                             output_padding=op).numpy()
+    np.testing.assert_allclose(np.asarray(out), np.transpose(ref, (0, 2, 3, 1)),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_warping_net_shapes_and_identity_affine(rng):
+    net = WarpingNet(out_size=(16, 20), with_refine=True)
+    x = jnp.asarray(rng.random((2, 12, 12, 3), np.float32))
+    params = net.init(jax.random.PRNGKey(0), x)["params"]
+    out = net.apply({"params": params}, x)
+    assert out.shape == (2, 16, 20, 3)
+
+    # simplified grid path gives the same output
+    grid = net.apply({"params": params}, method=WarpingNet.simplify)
+    assert grid.shape == (1, 16, 20, 2)
+    out2 = net.apply({"params": params}, x, fine_grid=grid)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
+
+
+def test_affine_from_corners_identity():
+    # corners at the full image span -> identity affine
+    corners = [[-1, -1], [1, -1], [1, 1], [-1, 1]]
+    aff = np.asarray(affine_from_corners(corners))
+    np.testing.assert_allclose(aff[0], [[1, 0, 0], [0, 1, 0]], atol=1e-6)
+
+
+def test_shading_net_shapes(rng):
+    net = ShadingNetSPAA(use_rough=True)
+    x = jnp.asarray(rng.random((2, 16, 24, 3), np.float32))
+    s = jnp.asarray(rng.random((2, 16, 24, 3), np.float32))
+    params = net.init(jax.random.PRNGKey(0), x, s, x * s)["params"]
+    out = net.apply({"params": params}, x, s, x * s)
+    assert out.shape == (2, 16, 24, 3)
+    assert float(out.max()) <= 1.0 and float(out.min()) >= 0.0
+
+    # cached surface features match direct compute
+    sf = net.apply({"params": params}, s, x * s,
+                   method=ShadingNetSPAA.surface_features)
+    out2 = net.apply({"params": params}, x, s, x * s, surface_feats=sf)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
+
+
+def test_compen_net_and_pp(rng):
+    net = CompenNet()
+    x = jnp.asarray(rng.random((1, 16, 16, 3), np.float32))
+    s = jnp.asarray(rng.random((1, 16, 16, 3), np.float32))
+    params = net.init(jax.random.PRNGKey(0), x, s)["params"]
+    out = net.apply({"params": params}, x, s)
+    assert out.shape == (1, 16, 16, 3)
+
+    pp = CompenNetPlusplus(out_size=(16, 16))
+    params = pp.init(jax.random.PRNGKey(1), x, s)["params"]
+    out = pp.apply({"params": params}, x, s)
+    assert out.shape == (1, 16, 16, 3)
+
+    grid, sf = pp.apply({"params": params}, s,
+                        method=CompenNetPlusplus.simplify)
+    out2 = pp.apply({"params": params}, x, s, fine_grid=grid, surface_feats=sf)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
+
+
+def test_pcnet_forward_and_grads(rng):
+    net = PCNet(out_size=(16, 20))
+    prj = jnp.asarray(rng.random((2, 12, 12, 3), np.float32))
+    scene = jnp.asarray(rng.random((2, 16, 20, 3), np.float32))
+    mask = jnp.asarray((rng.random((16, 20, 1)) > 0.3).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), prj, scene, mask)["params"]
+    out = net.apply({"params": params}, prj, scene, mask)
+    assert out.shape == (2, 16, 20, 3)
+
+    # gradient wrt projector input must flow (the attack requires it)
+    g = jax.grad(lambda p: jnp.sum(
+        net.apply({"params": params}, p, scene, mask)))(prj)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+    # simplified cache path equals full forward
+    cache = net.apply({"params": params}, scene[:1], mask,
+                      method=PCNet.simplify_cache)
+    out2 = net.apply({"params": params}, prj, scene, mask, cache=cache)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
