@@ -1,0 +1,344 @@
+"""Attack orchestration: config factories, the benchmark sweep driver, and
+real-capture replay.
+
+Re-design of reference ``projector_based_attack.py:24-209,342-359``. Public
+behavior preserved: same attacker names, same stealth_loss × d_thr ×
+classifier sweep grid, same output directory scheme
+(``prj/adv/<attacker_cfg>/<loss>/<d_thr>/<classifier>`` etc., a de-facto
+API of the benchmark dataset layout).
+
+TPU re-design: for SPAA/PerC-AL the (stealth_loss × d_thr) grid for one
+classifier is fused into a *single batched attack call* (see
+``attack/spaa.py``) — the per-config loop below only slices results back
+out into the reference directory layout.
+"""
+
+from __future__ import annotations
+
+import itertools
+from os.path import join
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spaa_tpu.attack.perc_al import PerC_AL
+from spaa_tpu.attack.spaa import SpaaConfig, spaa_attack_batched, stealth_weights
+from spaa_tpu.models.classifiers import (Classifier, load_imagenet_labels,
+                                         make_logits_fn)
+from spaa_tpu.models.pcnet import PCNet
+from spaa_tpu.train.data import load_setup_info
+from spaa_tpu.train.train import get_model_train_cfg
+from spaa_tpu.utils.config import DictConfig
+from spaa_tpu.utils.io import imread, save_imgs
+from spaa_tpu.utils.seed import reset_rng_seeds
+from spaa_tpu.ops.image import center_crop, expand_4d
+
+ATTACKER_NAMES = ["SPAA", "PerC-AL+CompenNet++", "One-pixel_DE"]
+
+
+def get_attacker_cfg(attacker_name: str, data_root: str, setup_list,
+                     device_ids=(0,), load_pretrained: bool = False,
+                     plot_on: bool = False) -> DictConfig:
+    """Ref ``projector_based_attack.py:169-192`` — identical grids."""
+    cfg = DictConfig({})
+    cfg.attacker_name = attacker_name
+    cfg.classifier_names = ["inception_v3", "resnet18", "vgg16"]
+    cfg.data_root = data_root
+    cfg.setup_list = setup_list
+    cfg.device = "tpu"
+    cfg.device_ids = list(device_ids)
+    cfg.load_pretrained = load_pretrained
+    cfg.plot_on = plot_on
+    if attacker_name == "SPAA":
+        cfg.stealth_losses = ["caml2", "camdE", "camdE_caml2"]
+        cfg.d_threshes = [5, 7, 9, 11]
+    elif attacker_name == "PerC-AL+CompenNet++":
+        cfg.stealth_losses = ["camdE"]
+        cfg.d_threshes = [11]
+    elif attacker_name == "One-pixel_DE":
+        cfg.stealth_losses = ["-"]
+        cfg.d_threshes = ["-"]
+    else:
+        raise AssertionError(f"{attacker_name} not supported!")
+    return cfg
+
+
+def to_attacker_cfg_str(attacker_name: str):
+    """Ref ``projector_based_attack.py:195-209`` — directory-name scheme."""
+    assert attacker_name in ATTACKER_NAMES, f"{attacker_name} not supported!"
+    if attacker_name == "SPAA":
+        mc = get_model_train_cfg(["PCNet"], single=True)
+        model_cfg_str = (f"{mc.model_name}_{mc.loss}_{mc.num_train}_"
+                         f"{mc.batch_size}_{mc.max_iters}")
+        return f"{attacker_name}_{model_cfg_str}", model_cfg_str
+    if attacker_name == "PerC-AL+CompenNet++":
+        mc = get_model_train_cfg(["CompenNet++"], single=True)
+        model_cfg_str = (f"{mc.model_name}_{mc.loss}_{mc.num_train}_"
+                         f"{mc.batch_size}_{mc.max_iters}")
+        return (f"{attacker_name}_{mc.loss}_{mc.num_train}_{mc.batch_size}_"
+                f"{mc.max_iters}", model_cfg_str)
+    return attacker_name, None
+
+
+def perc_al_compennet_pp(compennet_pp_apply, classifier: Classifier,
+                         imagenet_labels, target_idx, targeted: bool,
+                         cam_scene, d_thr, setup_info,
+                         max_iterations: int = 50):
+    """Two-stage attacker (ref ``projector_based_attack.py:342-359``):
+    PerC-AL digital attack on the camera image, then CompenNet++
+    compensates it into a projector input."""
+    num_target = len(target_idx)
+    cam_scene_b = jnp.broadcast_to(jnp.asarray(cam_scene),
+                                   (num_target,) + cam_scene.shape[1:])
+    confidence = 0 if targeted else 40
+    attacker = PerC_AL(max_iterations=max_iterations, alpha_l_init=1.0,
+                       alpha_c_init=0.5, confidence=confidence)
+    cp_sz = tuple(int(c) for c in setup_info["classifier_crop_sz"])
+
+    def logits_fn(im):
+        return classifier._logits_fn(classifier.params, im, cp_sz)
+
+    cam_infer_best = attacker.adversary_projector(
+        logits_fn, cam_scene_b, np.asarray(target_idx),
+        imagenet_labels=imagenet_labels, d_thr=d_thr, targeted=targeted)
+    prj_adv_best = compennet_pp_apply(cam_infer_best, cam_scene_b)
+    return cam_infer_best, prj_adv_best
+
+
+def run_projector_based_attack(cfg, procams=None,
+                               weights_dir: Optional[str] = None):
+    """Benchmark sweep driver (ref ``projector_based_attack.py:24-148``).
+
+    procams: optional project-and-capture object for One-pixel_DE (hardware
+    or the synthetic simulator). weights_dir: classifier checkpoints dir.
+    """
+    attacker_name = cfg.attacker_name
+    assert attacker_name in ATTACKER_NAMES, f"{attacker_name} not supported!"
+    assert (attacker_name != "One-pixel_DE") or (len(cfg.setup_list) == 1), \
+        f"{attacker_name} does not support attacking multiple setups simultaneously!"
+    reset_rng_seeds(0)
+
+    for setup_name in cfg.setup_list:
+        print(f"\nPerforming [{attacker_name}] attack on [{setup_name}]")
+        setup_path = join(cfg.data_root, "setups", setup_name)
+        setup_info = load_setup_info(setup_path)
+        cp_sz = tuple(int(c) for c in setup_info["classifier_crop_sz"])
+        w_cam, h_cam = setup_info["cam_im_sz"]
+        cam_scene = np.asarray(center_crop(
+            expand_4d(jnp.asarray(imread(join(setup_path,
+                                              "cam/raw/ref/img_0002.png")))),
+            (h_cam, w_cam)))
+
+        imagenet_labels = load_imagenet_labels(
+            join(cfg.data_root, "imagenet1000_clsidx_to_labels.txt"))
+        target_labels = load_imagenet_labels(
+            join(cfg.data_root, "imagenet10_clsidx_to_labels.txt"))
+
+        dl_based = attacker_name in ["SPAA", "PerC-AL+CompenNet++"]
+        trained = None
+        if dl_based:
+            from spaa_tpu.train.pipeline import (train_eval_compennet_pp,
+                                                 train_eval_pcnet)
+            model_cfg = get_model_train_cfg(
+                None, cfg.data_root, [setup_name],
+                load_pretrained=cfg.load_pretrained, plot_on=cfg.plot_on)
+            if attacker_name == "SPAA":
+                model_cfg.model_list = ["PCNet"]
+                if "max_iters" in cfg:       # test override
+                    model_cfg.max_iters = cfg.max_iters
+                trained, _, model_cfg = train_eval_pcnet(model_cfg)
+            else:
+                model_cfg.model_list = ["CompenNet++"]
+                if "max_iters" in cfg:
+                    model_cfg.max_iters = cfg.max_iters
+                trained, _, model_cfg = train_eval_compennet_pp(model_cfg)
+            cfg.model_cfg = dict(model_cfg)
+        else:
+            from spaa_tpu.attack.one_pixel import ProjectorOnePixelAttacker
+            assert procams is not None, \
+                "One-pixel_DE needs a procams (hardware or simulator)"
+            one_pixel_de = ProjectorOnePixelAttacker(imagenet_labels,
+                                                     setup_info, procams)
+            ph, pw = setup_info["prj_im_sz"][1], setup_info["prj_im_sz"][0]
+            im_prj_org = np.full((ph, pw, 3),
+                                 float(setup_info["prj_brightness"]),
+                                 np.float32)
+            one_pixel_de.im_cam_org = cam_scene[0]
+            model_cfg = None
+
+        attacker_cfg_str = to_attacker_cfg_str(attacker_name)[0]
+
+        n = 10  # 10 targeted + 1 untargeted (ref :79-81)
+        target_labels = dict(itertools.islice(target_labels.items(), n))
+        target_idx = list(target_labels.keys())
+
+        for classifier_name in cfg.classifier_names:
+            classifier = Classifier(classifier_name, weights_dir,
+                                    sort_results=dl_based)
+            _, p, pred_idx = classifier(jnp.asarray(cam_scene), cp_sz)
+            true_idx = int(pred_idx[0, 0]) if dl_based else int(p.argmax())
+            true_label = imagenet_labels[true_idx]
+            print(f"\n---- [{attacker_name}] attacking [{classifier_name}], "
+                  f"original prediction: ({true_label}, p={p.max():.2f}) ----")
+
+            if attacker_name == "SPAA":
+                _run_spaa_sweep(cfg, trained, classifier, cam_scene,
+                                target_idx, true_idx, setup_info, setup_path,
+                                attacker_cfg_str, classifier_name,
+                                imagenet_labels)
+            elif attacker_name == "PerC-AL+CompenNet++":
+                _run_percal_sweep(cfg, trained, classifier, cam_scene,
+                                  target_idx, true_idx, setup_info,
+                                  setup_path, attacker_cfg_str,
+                                  classifier_name, imagenet_labels)
+            else:
+                _run_one_pixel(cfg, one_pixel_de, classifier, im_prj_org,
+                               target_idx, true_idx, true_label, setup_path,
+                               attacker_cfg_str, classifier_name,
+                               imagenet_labels, n)
+
+        if dl_based:
+            print(f"\nThe next step is to project and capture "
+                  f"[{attacker_name}] generated adversarial projections in "
+                  f"{join(setup_path, 'prj/adv', attacker_cfg_str)}")
+    return cfg
+
+
+def _pcnet_closure(trained):
+    """Frozen PCNet forward with the baked simplify cache."""
+    cache = trained.simplify()
+    model, params, mask = trained.model, trained.params, trained.mask
+    scene = jnp.asarray(trained.cam_scene)
+
+    def pcnet_apply(prj):
+        s = jnp.broadcast_to(scene, (prj.shape[0],) + scene.shape[1:])
+        return model.apply({"params": params}, prj, s, mask, cache=cache)
+
+    return pcnet_apply
+
+
+def _run_spaa_sweep(cfg, trained, classifier, cam_scene, target_idx,
+                    true_idx, setup_info, setup_path, attacker_cfg_str,
+                    classifier_name, imagenet_labels):
+    """All (stealth_loss × d_thr) configs × (1 untargeted + 10 targeted) as
+    ONE batched attack, then unpack into the reference directory layout."""
+    cp_sz = tuple(int(c) for c in setup_info["classifier_crop_sz"])
+    pcnet_apply = _pcnet_closure(trained)
+    logits_fn_inner = make_logits_fn(classifier.name)
+    params = classifier.params
+
+    def logits_fn(im):
+        return logits_fn_inner(params, im, cp_sz)
+
+    configs = [(sl, d) for sl in cfg.stealth_losses for d in cfg.d_threshes]
+    n = len(target_idx)
+    per_cfg = n + 1  # 10 targeted + 1 untargeted
+    b = len(configs) * per_cfg
+
+    ph, pw = setup_info["prj_im_sz"][1], setup_info["prj_im_sz"][0]
+    prj_init = jnp.full((b, ph, pw, 3), float(setup_info["prj_brightness"]))
+    tgt = np.zeros(b, np.int32)
+    targeted = np.zeros(b, bool)
+    w = np.zeros((b, 3), np.float32)
+    dt = np.zeros(b, np.float32)
+    for ci, (sl, d) in enumerate(configs):
+        s = ci * per_cfg
+        tgt[s:s + n] = target_idx
+        targeted[s:s + n] = True
+        tgt[s + n] = true_idx
+        targeted[s + n] = False
+        w[s:s + per_cfg] = stealth_weights(sl)
+        dt[s:s + per_cfg] = float(d)
+
+    cam_best, prj_best = jax.jit(
+        lambda *a: spaa_attack_batched(pcnet_apply, logits_fn, *a,
+                                       cfg=SpaaConfig()))(
+        jnp.asarray(cam_scene), prj_init, jnp.asarray(tgt),
+        jnp.asarray(targeted), jnp.asarray(w), jnp.asarray(dt))
+    cam_best = np.asarray(cam_best)
+    prj_best = np.asarray(prj_best)
+
+    for ci, (stealth_loss, d_thr) in enumerate(configs):
+        s = ci * per_cfg
+        folder = join(attacker_cfg_str, stealth_loss, str(d_thr),
+                      classifier_name)
+        # targeted 1..n then untargeted as image n+1 (ref :136-139)
+        save_imgs(cam_best[s:s + per_cfg],
+                  join(setup_path, "cam/infer/adv", folder))
+        save_imgs(prj_best[s:s + per_cfg],
+                  join(setup_path, "prj/adv", folder))
+    print(f"  [SPAA] {len(configs)} configs × {per_cfg} attacks "
+          f"done in one batched run (batch {b})")
+
+
+def _run_percal_sweep(cfg, trained, classifier, cam_scene, target_idx,
+                      true_idx, setup_info, setup_path, attacker_cfg_str,
+                      classifier_name, imagenet_labels):
+    model, params = trained.model, trained.params
+
+    def compennet_pp_apply(cam, scene):
+        return model.apply({"params": params}, cam, scene)
+
+    for stealth_loss in cfg.stealth_losses:
+        for d_thr in cfg.d_threshes:
+            folder = join(attacker_cfg_str, stealth_loss, str(d_thr),
+                          classifier_name)
+            cam_u, prj_u = perc_al_compennet_pp(
+                compennet_pp_apply, classifier, imagenet_labels, [true_idx],
+                False, jnp.asarray(cam_scene), d_thr, setup_info)
+            cam_t, prj_t = perc_al_compennet_pp(
+                compennet_pp_apply, classifier, imagenet_labels, target_idx,
+                True, jnp.asarray(cam_scene), d_thr, setup_info)
+            save_imgs(np.concatenate([np.asarray(cam_t), np.asarray(cam_u)]),
+                      join(setup_path, "cam/infer/adv", folder))
+            save_imgs(np.concatenate([np.asarray(prj_t), np.asarray(prj_u)]),
+                      join(setup_path, "prj/adv", folder))
+
+
+def _run_one_pixel(cfg, one_pixel_de, classifier, im_prj_org, target_idx,
+                   true_idx, true_label, setup_path, attacker_cfg_str,
+                   classifier_name, imagenet_labels, n):
+    for stealth_loss in cfg.stealth_losses:
+        for d_thr in cfg.d_threshes:
+            folder = join(attacker_cfg_str, stealth_loss, str(d_thr),
+                          classifier_name)
+            cam_raw_adv_path = join(setup_path, "cam/raw/adv", folder)
+            prj_adv_path = join(setup_path, "prj/adv", folder)
+            # untargeted (ref :110-113)
+            _, prj_u, cam_u = one_pixel_de(
+                im_prj_org, classifier, False, target_idx=true_idx,
+                pixel_count=1, pixel_size=41, maxiter=4, popsize=50,
+                verbose=True, true_label=true_label)
+            # targeted (ref :124-134)
+            for i in range(n):
+                _, prj_t, cam_t = one_pixel_de(
+                    im_prj_org, classifier, True, target_idx=target_idx[i],
+                    pixel_count=1, pixel_size=41, maxiter=4, popsize=10,
+                    verbose=True, true_label=true_label)
+                save_imgs(cam_t[None], cam_raw_adv_path, idx=i)
+                save_imgs(prj_t[None], prj_adv_path, idx=i)
+            save_imgs(cam_u[None], cam_raw_adv_path, idx=n)
+            save_imgs(prj_u[None], prj_adv_path, idx=n)
+
+
+def project_capture_real_attack(cfg, procams) -> None:
+    """Replay adversarial projections through (real or simulated) ProCams
+    (ref ``projector_based_attack.py:151-166``)."""
+    attacker_name = cfg.attacker_name
+    assert attacker_name in ["SPAA", "PerC-AL+CompenNet++"], \
+        f"{attacker_name} not supported, One-pixel_DE does not use this function!"
+    assert len(cfg.setup_list) == 1
+
+    setup_path = join(cfg.data_root, "setups", cfg.setup_list[0])
+    setup_info = load_setup_info(setup_path)
+    for stealth_loss in cfg.stealth_losses:
+        for d_thr in cfg.d_threshes:
+            for classifier_name in cfg.classifier_names:
+                attacker_cfg_str = to_attacker_cfg_str(attacker_name)[0]
+                folder = join(attacker_cfg_str, stealth_loss, str(d_thr),
+                              classifier_name)
+                procams.project_capture_data(
+                    join(setup_path, "prj/adv", folder),
+                    join(setup_path, "cam/raw/adv", folder), setup_info)

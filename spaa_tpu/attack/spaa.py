@@ -1,0 +1,187 @@
+"""SPAA: Stealthy Projector-based Adversarial Attack (Algorithm 1).
+
+TPU-first re-design of reference ``projector_based_attack.py:212-339``.
+
+The reference runs the 50-iteration PGD-style loop once per
+(stealth_loss, d_thr) config — 12 sequential runs per classifier. Here the
+whole attack is **one jitted program batched over configs**: stealthiness
+weights, d_thr, target index and the targeted/untargeted flag are
+*per-sample* arrays, so "1 untargeted + 10 targeted attacks × 12 configs"
+becomes a single batch of 132 images through PCNet + classifier. The
+per-sample gradient normalization (g_b / ||g_b||) makes this exactly
+equivalent to the reference's per-config runs: the batch-mean loss only
+rescales each sample's gradient, which normalization cancels.
+
+Other re-designs:
+  - the two backward passes per iteration (adversarial + color loss,
+    ref ``:302-315``) share one forward via ``jax.vjp`` pullbacks;
+  - data-dependent in-place mask updates (``.data[mask] -=``) become
+    branchless ``jnp.where`` selects;
+  - the loop is ``lax.fori_loop`` — 50 iterations on device with zero host
+    round-trips;
+  - PCNet runs with its baked `simplify` cache (constant sampling grid).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from spaa_tpu.ops.color import ciede2000_diff, rgb2lab_diff
+
+
+class SpaaConfig(NamedTuple):
+    """Static attack hyper-parameters (SPAA Algorithm 1; values
+    ref ``projector_based_attack.py:243-258``)."""
+    iters: int = 50
+    adv_lr: float = 2.0      # β1: adversarial step size
+    col_lr: float = 1.0      # β2: stealthiness step size
+    adv_w: float = 1.0
+    p_thresh: float = 0.9
+
+
+def stealth_weights(stealth_loss: str):
+    """Loss-name → (prjl2_w, caml2_w, camdE_w)
+    (ref ``projector_based_attack.py:248-251``)."""
+    return (0.1 if "prjl2" in stealth_loss else 0.0,
+            1.0 if "caml2" in stealth_loss else 0.0,
+            1.0 if "camdE" in stealth_loss else 0.0)
+
+
+def _per_sample_l2(diff: jax.Array) -> jax.Array:
+    """Mean per-pixel channel L2 norm per sample (Zhao CVPR'20 flavor,
+    ref ``:275-279``): [B, H, W, C] → [B]."""
+    return jnp.mean(jnp.sqrt(jnp.sum(diff * diff, axis=-1)), axis=(1, 2))
+
+
+def _normalized(g: jax.Array) -> jax.Array:
+    """g_b / ||g_b||_2 per sample (ref ``:307``)."""
+    norms = jnp.sqrt(jnp.sum(g * g, axis=(1, 2, 3), keepdims=True))
+    return g / jnp.maximum(norms, 1e-12)
+
+
+def spaa_attack_batched(
+    pcnet_apply: Callable,          # prj [B,Hp,Wp,3] -> cam_infer [B,H,W,3]
+    logits_fn: Callable,            # cam_infer -> raw logits [B, 1000]
+    cam_scene: jax.Array,           # [1, H, W, 3]
+    prj_init: jax.Array,            # [B, Hp, Wp, 3] (gray)
+    target_idx: jax.Array,          # [B] int32
+    targeted: jax.Array,            # [B] bool
+    weights: jax.Array,             # [B, 3] (prjl2_w, caml2_w, camdE_w)
+    d_thr: jax.Array,               # [B] float
+    cfg: SpaaConfig = SpaaConfig(),
+):
+    """Core batched SPAA loop. Returns (cam_infer_best, prj_adv_best).
+
+    Jittable; every per-config quantity is a traced array so one compiled
+    program serves the whole stealth_loss × d_thr sweep.
+    """
+    b = prj_init.shape[0]
+    cam_scene_b = jnp.broadcast_to(cam_scene, (b,) + cam_scene.shape[1:])
+    scene_lab = rgb2lab_diff(cam_scene_b)
+    im_gray = prj_init
+    arange_b = jnp.arange(b)
+    tgt_sign = jnp.where(targeted, -1.0, 1.0)
+
+    def losses(prj_adv):
+        """Forward: returns (adv_loss, col_loss) plus aux for masks."""
+        cam_infer = pcnet_apply(jnp.clip(prj_adv, 0.0, 1.0))
+        raw = logits_fn(cam_infer)
+        # adversarial loss (ref :269-272), sign folded per sample
+        score = raw[arange_b, target_idx]
+        adv_loss = cfg.adv_w * jnp.mean(tgt_sign * score)
+        # stealthiness losses (ref :274-287)
+        prjl2 = _per_sample_l2(im_gray - prj_adv)
+        caml2 = _per_sample_l2(cam_scene_b - cam_infer)
+        camde = jnp.mean(ciede2000_diff(rgb2lab_diff(cam_infer), scene_lab),
+                         axis=(1, 2))
+        col_batch = (weights[:, 0] * prjl2 + weights[:, 1] * caml2
+                     + weights[:, 2] * camde)
+        col_loss = jnp.mean(col_batch)
+        return (adv_loss, col_loss), (cam_infer, raw, caml2, col_batch)
+
+    def body(i, state):
+        del i
+        prj_adv, prj_best, cam_best, col_best = state
+
+        (adv_loss, col_loss), vjp, aux = jax.vjp(losses, prj_adv, has_aux=True)
+        cam_infer, raw, caml2, col_batch = aux
+        adv_grad, = vjp((1.0, 0.0))
+        col_grad, = vjp((0.0, 1.0))
+
+        p = jax.nn.softmax(raw, axis=1)
+        top_idx = jnp.argmax(raw, axis=1)
+        top_p = jnp.max(p, axis=1)
+
+        # masks (ref :289-299); untargeted ignores the confidence test
+        mask_high_conf = top_p > cfg.p_thresh
+        mask_high_pert = caml2 * 255.0 > d_thr
+        mask_succ = jnp.where(targeted, top_idx == target_idx,
+                              top_idx != target_idx)
+        mask_best_adv = mask_succ & mask_high_pert & (mask_high_conf | ~targeted)
+
+        # alternating masked updates with per-sample normalized grads
+        # (ref :302-315)
+        m = mask_best_adv[:, None, None, None]
+        step = jnp.where(m, cfg.col_lr * _normalized(col_grad),
+                         cfg.adv_lr * _normalized(adv_grad))
+        prj_adv = prj_adv - step
+
+        # best tracking (ref :317-328): successful attacks always refresh;
+        # the lowest-color-loss successful attack pins the "best"
+        mask_best = (col_batch < col_best) & mask_best_adv
+        col_best = jnp.where(mask_best, col_batch, col_best)
+        keep = (mask_succ | mask_best)[:, None, None, None]
+        prj_best = jnp.where(keep, prj_adv, prj_best)
+        cam_best = jnp.where(keep, cam_infer, cam_best)
+        return prj_adv, prj_best, cam_best, col_best
+
+    prj_adv0 = prj_init
+    prj_best0 = prj_init
+    cam_best0 = cam_scene_b
+    col_best0 = jnp.full((b,), 1e6)
+    state = jax.lax.fori_loop(0, cfg.iters, body,
+                              (prj_adv0, prj_best0, cam_best0, col_best0))
+    _, prj_best, cam_best, _ = state
+    return cam_best, jnp.clip(prj_best, 0.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 8))
+def _spaa_jit(pcnet_apply, logits_fn, cam_scene, prj_init, target_idx,
+              targeted, weights, d_thr, cfg):
+    return spaa_attack_batched(pcnet_apply, logits_fn, cam_scene, prj_init,
+                               target_idx, targeted, weights, d_thr, cfg)
+
+
+def spaa(pcnet_apply: Callable, logits_fn: Callable, imagenet_labels,
+         target_idx, targeted: bool, cam_scene, d_thr, stealth_loss: str,
+         setup_info, cfg: SpaaConfig = SpaaConfig(), verbose: bool = True):
+    """Reference-parity single-config entry point
+    (ref ``spaa()``, ``projector_based_attack.py:212``).
+
+    pcnet_apply: closed-over frozen PCNet forward (prj → cam_infer).
+    logits_fn:   closed-over frozen classifier forward (cam → logits).
+    Returns (cam_infer_best, prj_adv_best) as jnp arrays.
+    """
+    import numpy as np
+    num_target = len(target_idx)
+    ph, pw = setup_info["prj_im_sz"][1], setup_info["prj_im_sz"][0]
+    prj_init = jnp.full((num_target, ph, pw, 3),
+                        float(setup_info["prj_brightness"]))
+    w = jnp.tile(jnp.asarray(stealth_weights(stealth_loss)), (num_target, 1))
+    cam_best, prj_best = _spaa_jit(
+        pcnet_apply, logits_fn, jnp.asarray(cam_scene), prj_init,
+        jnp.asarray(np.asarray(target_idx), jnp.int32),
+        jnp.full((num_target,), bool(targeted)),
+        w, jnp.full((num_target,), float(d_thr)), cfg)
+    if verbose:
+        raw = logits_fn(cam_best)
+        p = jax.nn.softmax(raw, axis=1)
+        v = 7 if (targeted and num_target > 7) else 0
+        idx = int(jnp.argmax(raw[v]))
+        print(f"  [spaa done] p = {float(p[v, idx]):.4f} | y = {idx:3d} "
+              f"({imagenet_labels.get(idx, '?')})")
+    return cam_best, prj_best

@@ -1,0 +1,276 @@
+"""Benchmark stats: per-setup tables, montages, cross-setup pivot table.
+
+Re-design of reference ``projector_based_attack.py:362-614``
+(``attack_results`` montage, ``summarize_single_attacker``,
+``summarize_all_attackers``). Column schema, success-rate definitions and
+the pivot layout (supplementary Table 2 / paper Table 1) are kept
+identical so results are comparable row-for-row.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+from os.path import join
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from spaa_tpu.attack.orchestrate import to_attacker_cfg_str
+from spaa_tpu.models.classifiers import Classifier, load_imagenet_labels
+from spaa_tpu.ops.image import center_crop, expand_4d, resize_area
+from spaa_tpu.ops.metrics import calc_img_dists, l2_norm
+from spaa_tpu.train.data import load_setup_info
+from spaa_tpu.utils.imgproc_host import (expand_border, insert_text,
+                                         make_grid, to_pseudocolor)
+from spaa_tpu.utils.io import imread, imread_dir, save_imgs
+
+
+def attack_results(ret, t, imgnet_labels, im_gray, prj_adv, cam_scene,
+                   cam_infer, cam_real, prj_im_sz, cp_sz) -> np.ndarray:
+    """Five-panel annotated result montage for target ``t``
+    (ref ``projector_based_attack.py:362-414``)."""
+    prj_hw = (int(prj_im_sz[1]), int(prj_im_sz[0]))
+    cam_scene_cp = center_crop(jnp.asarray(cam_scene[0]), cp_sz)
+    cam_real_cp = center_crop(jnp.asarray(cam_real[t]), cp_sz)
+    cam_infer_cp = center_crop(jnp.asarray(cam_infer[t]), cp_sz)
+
+    scene_rz = np.asarray(resize_area(cam_scene_cp, prj_hw))
+    real_rz = np.asarray(resize_area(cam_real_cp, prj_hw))
+    infer_rz = np.asarray(resize_area(cam_infer_cp, prj_hw))
+
+    diff = np.abs(real_rz - scene_rz)
+    diff = (diff - diff.min()) / max(diff.max() - diff.min(), 1e-12)
+    diff_color = to_pseudocolor(diff.mean(-1))
+
+    im = make_grid(np.stack([scene_rz, np.asarray(prj_adv[t]), infer_rz,
+                             real_rz, diff_color], 0),
+                   nrow=5, padding=5, pad_value=1.0)
+
+    prj_l2 = l2_norm(jnp.asarray(prj_adv[t]), jnp.asarray(im_gray[0]))
+    pred_l2 = l2_norm(cam_infer_cp, cam_scene_cp)
+    real_l2 = l2_norm(cam_real_cp, cam_scene_cp)
+
+    im = expand_border(im, (0, 26, 0, 0))
+    im = insert_text(im, f"Cam-captured scene ({t})", (70, 0), 14)
+    im = insert_text(
+        im, f"{imgnet_labels[int(ret['scene'][2][0, 0])]} "
+            f"({ret['scene'][1][0, 0]:.2f})", (5, 14), 14)
+    im = insert_text(im, "Model inferred adversarial projection", (280, 0), 14)
+    im = insert_text(im, f"L2={prj_l2:.2f}", (370, 14), 14)
+    im = insert_text(im, "Model inferred cam-captured projection", (530, 0), 14)
+    im = insert_text(
+        im, f"{imgnet_labels[int(ret['infer'][2][t, 0])]} "
+            f"({ret['infer'][1][t, 0]:.2f})", (530, 14), 14)
+    im = insert_text(im, f"L2={pred_l2:.2f}", (720, 14), 14)
+    im = insert_text(im, "Real cam-captured projection", (820, 0), 14)
+    im = insert_text(
+        im, f"{imgnet_labels[int(ret['real'][2][t, 0])]} "
+            f"({ret['real'][1][t, 0]:.2f})", (790, 14), 14)
+    im = insert_text(im, f"L2={real_l2:.2f}", (980, 14), 14)
+    im = insert_text(im, "Normalized difference, i.e., 4th-1st", (1070, 0), 14)
+    return im
+
+
+def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
+                              weights_dir: Optional[str] = None,
+                              stealth_losses=None, d_threshes=None,
+                              classifier_names=None) -> pd.DataFrame:
+    """Per-setup stats table + montages (ref
+    ``projector_based_attack.py:417-574``). The full (stealth × d_thr ×
+    classifier) grid incl. '-' rows is scanned; missing result folders are
+    skipped with a notice, like the reference."""
+    assert attacker_name in ["SPAA", "PerC-AL+CompenNet++", "One-pixel_DE"]
+    attacker_cfg_str, model_cfg_str = to_attacker_cfg_str(attacker_name)
+    dl_based = attacker_name in ["SPAA", "PerC-AL+CompenNet++"]
+
+    imagenet_labels = load_imagenet_labels(
+        join(data_root, "imagenet1000_clsidx_to_labels.txt"))
+    target_labels = load_imagenet_labels(
+        join(data_root, "imagenet10_clsidx_to_labels.txt"))
+    n = 10
+    target_labels = dict(itertools.islice(target_labels.items(), n))
+    target_idx = list(target_labels.keys())
+
+    phase = ["Valid", "prj", "infer", "real"]
+    mets = ["PSNR", "RMSE", "SSIM", "L2", "Linf", "dE"]
+    columns = (["Setup", "Attacker", "Stealth_loss", "d_thr", "Classifier",
+                "T.top-1_infer", "T.top-5_infer", "T.top-1_real",
+                "T.top-5_real", "U.top-1_infer", "U.top-1_real"]
+               + [phase[0] + "_" + y for y in mets]
+               + ["T." + x + "_" + y for x in phase[1:] for y in mets]
+               + ["U." + x + "_" + y for x in phase[1:] for y in mets]
+               + ["All." + x + "_" + y for x in phase[1:] for y in mets])
+
+    stealth_losses = stealth_losses or ["caml2", "camdE", "camdE_caml2", "-"]
+    d_threshes = d_threshes or [5, 7, 9, 11, "-"]
+    classifier_names = classifier_names or ["inception_v3", "resnet18",
+                                            "vgg16"]
+
+    table = pd.DataFrame(columns=columns)
+    for setup_name in setup_list:
+        setup_path = join(data_root, "setups", setup_name)
+        print(f"\nCalculating stats of [{attacker_name}] on [{setup_path}]")
+        setup_info = load_setup_info(setup_path)
+        cp_sz = tuple(int(c) for c in setup_info["classifier_crop_sz"])
+        pw, ph = setup_info["prj_im_sz"]
+        im_gray = np.full((1, ph, pw, 3),
+                          float(setup_info["prj_brightness"]), np.float32)
+        cam_scene = imread(join(setup_path, "cam/raw/ref/img_0002.png"))[None]
+
+        # validation block (ref :463-473)
+        if attacker_name == "SPAA":
+            inf_dir = join(setup_path, "cam/infer/test", model_cfg_str)
+            gt_dir = join(setup_path, "cam/raw/test")
+            if os.path.isdir(inf_dir):
+                im_infer = center_crop(jnp.asarray(imread_dir(inf_dir)), cp_sz)
+                im_gt = center_crop(jnp.asarray(imread_dir(gt_dir)), cp_sz)
+                valid_ret = list(calc_img_dists(im_infer, im_gt))
+            else:
+                valid_ret = [0] * 6
+        elif attacker_name == "PerC-AL+CompenNet++":
+            inf_dir = join(setup_path, "prj/infer/test", model_cfg_str)
+            gt_dir = join(data_root, "prj_share/test")
+            if os.path.isdir(inf_dir):
+                im_infer = jnp.asarray(imread_dir(inf_dir))
+                im_gt = jnp.asarray(
+                    imread_dir(gt_dir,
+                               index=list(range(im_infer.shape[0]))))
+                valid_ret = list(calc_img_dists(im_infer, im_gt))
+            else:
+                valid_ret = [0] * 6
+        else:
+            valid_ret = [0] * 6
+
+        classifiers = {}
+        for stealth_loss in stealth_losses:
+            for d_thr in d_threshes:
+                for classifier_name in classifier_names:
+                    folder = join(attacker_cfg_str, stealth_loss, str(d_thr),
+                                  classifier_name)
+                    prj_adv_path = join(setup_path, "prj/adv", folder)
+                    cam_infer_path = join(setup_path, "cam/infer/adv", folder)
+                    cam_real_path = join(setup_path, "cam/raw/adv", folder)
+
+                    dirs = [prj_adv_path, cam_real_path]
+                    if dl_based:
+                        dirs.append(cam_infer_path)
+                    if any(not os.path.isdir(d) or not os.listdir(d)
+                           for d in dirs):
+                        print(f"No such folder/images: {folder} — skipping")
+                        break
+
+                    prj_adv = imread_dir(prj_adv_path)
+                    cam_real = imread_dir(cam_real_path)
+                    cam_infer = imread_dir(cam_infer_path) if dl_based \
+                        else cam_real
+
+                    if classifier_name not in classifiers:
+                        classifiers[classifier_name] = Classifier(
+                            classifier_name, weights_dir, sort_results=True)
+                    clf = classifiers[classifier_name]
+                    ret = {"scene": clf(jnp.asarray(cam_scene), cp_sz),
+                           "infer": clf(jnp.asarray(cam_infer), cp_sz),
+                           "real": clf(jnp.asarray(cam_real), cp_sz)}
+
+                    montage = [attack_results(ret, t, imagenet_labels,
+                                              im_gray, prj_adv, cam_scene,
+                                              cam_infer, cam_real,
+                                              setup_info["prj_im_sz"], cp_sz)
+                               for t in range(n + 1)]
+                    save_imgs(np.stack(montage, 0),
+                              join(setup_path, "ret", folder))
+
+                    # success rates (ref :521-533)
+                    t1_infer = np.count_nonzero(
+                        ret["infer"][2][:n, 0] == target_idx) / n
+                    t5_infer = np.count_nonzero(
+                        [target_idx[i] in ret["infer"][2][i, :5]
+                         for i in range(n)]) / n
+                    t1_real = np.count_nonzero(
+                        ret["real"][2][:n, 0] == target_idx) / n
+                    t5_real = np.count_nonzero(
+                        [target_idx[i] in ret["real"][2][i, :5]
+                         for i in range(n)]) / n
+                    true_i = ret["scene"][2][0, 0]
+                    t1_untar_infer = int(ret["infer"][2][n, 0] != true_i)
+                    t1_untar_real = int(ret["real"][2][n, 0] != true_i)
+
+                    def stealth_block(sl):
+                        pa = jnp.asarray(prj_adv[sl])
+                        ci = center_crop(jnp.asarray(cam_infer[sl]), cp_sz)
+                        cr = center_crop(jnp.asarray(cam_real[sl]), cp_sz)
+                        cs = center_crop(jnp.asarray(cam_scene), cp_sz)
+                        gray = jnp.broadcast_to(jnp.asarray(im_gray),
+                                                pa.shape)
+                        cs_b = jnp.broadcast_to(cs, ci.shape)
+                        return (list(calc_img_dists(pa, gray))
+                                + list(calc_img_dists(ci, cs_b))
+                                + list(calc_img_dists(cr, cs_b)))
+
+                    table.loc[len(table)] = [
+                        setup_name, attacker_cfg_str, stealth_loss, d_thr,
+                        classifier_name, t1_infer, t5_infer, t1_real,
+                        t5_real, t1_untar_infer, t1_untar_real, *valid_ret,
+                        *stealth_block(slice(0, n)),        # targeted
+                        *stealth_block(slice(n, n + 1)),    # untargeted
+                        *stealth_block(slice(0, n + 1)),    # all
+                    ]
+
+        print(f"\n---- [{attacker_name}] results on [{setup_name}] ----")
+        print(table.to_string(index=False, float_format="%.4f"))
+
+        ret_path = join(setup_path, "ret", attacker_cfg_str)
+        os.makedirs(ret_path, exist_ok=True)
+        table.to_csv(join(ret_path, "stats.txt"), index=False,
+                     float_format="%.4f", sep="\t")
+        try:
+            table.to_excel(join(ret_path, "stats.xlsx"),
+                           float_format="%.4f", index=False)
+        except (ImportError, ModuleNotFoundError, ValueError):
+            pass
+    return table
+
+
+def summarize_all_attackers(attacker_names, data_root, setup_list,
+                            recreate_stats_and_imgs: bool = False,
+                            weights_dir: Optional[str] = None):
+    """Cross-setup gather + pivot table ≙ paper Table 1 / supp. Table 2
+    (ref ``projector_based_attack.py:577-614``)."""
+    tables = []
+    for setup_name in setup_list:
+        setup_path = join(data_root, "setups", setup_name)
+        for attacker_name in attacker_names:
+            attacker_cfg_str = to_attacker_cfg_str(attacker_name)[0]
+            ret_path = join(setup_path, "ret", attacker_cfg_str)
+            print(f"\nGathering stats of {ret_path}")
+            if recreate_stats_and_imgs:
+                summarize_single_attacker(attacker_name, data_root,
+                                          [setup_name],
+                                          weights_dir=weights_dir)
+            tables.append(pd.read_csv(join(ret_path, "stats.txt"),
+                                      index_col=None, header=0, sep="\t"))
+
+    table = pd.concat(tables, axis=0, ignore_index=True)
+    pivot_table = pd.pivot_table(
+        table,
+        values=["T.top-1_real", "T.top-5_real", "U.top-1_real", "T.real_L2",
+                "T.real_Linf", "T.real_dE", "T.real_SSIM", "All.real_L2",
+                "All.real_Linf", "All.real_dE", "All.real_SSIM"],
+        index=["Attacker", "d_thr", "Stealth_loss", "Classifier"],
+        aggfunc="mean", sort=False)
+    pivot_table = pivot_table.sort_index(level=[0, 1],
+                                         ascending=[False, True])
+
+    table.to_csv(join(data_root, "setups/stats_all.txt"), index=False,
+                 float_format="%.4f", sep="\t")
+    try:
+        table.to_excel(join(data_root, "setups/stats_all.xlsx"),
+                       float_format="%.4f", index=False)
+        pivot_table.to_excel(join(data_root, "setups/pivot_table_all.xlsx"),
+                             float_format="%.4f", index=True)
+    except (ImportError, ModuleNotFoundError, ValueError):
+        pass
+    return table, pivot_table

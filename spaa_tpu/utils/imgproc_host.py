@@ -1,0 +1,228 @@
+"""Host-side (numpy/OpenCV) image processing: calibration-time code that
+runs once per setup and stays off-device by design (SURVEY.md §7 "hard
+parts": contours/hulls are not worth porting to TPU).
+
+  - ``threshold_im``: direct-light mask via multi-Otsu + convex hull + bbox
+    corners in [-1,1] grid coords (ref ``img_proc.py:13-65``). skimage is
+    unavailable here, so ``multi_otsu`` is implemented from scratch
+    (exact between-class-variance maximization over the 256-bin histogram
+    via dynamic programming — the same criterion skimage optimizes).
+  - ``checkerboard`` / ``create_gray_pattern``: calibration patterns
+    (ref ``img_proc.py:68-106,135-171``).
+  - montage/annotation helpers for the result summaries.
+"""
+
+from __future__ import annotations
+
+
+import cv2 as cv
+import numpy as np
+
+
+def multi_otsu(image_u8: np.ndarray, classes: int = 2) -> np.ndarray:
+    """Multi-Otsu thresholds for a uint8 image (classes-1 thresholds),
+    maximizing between-class variance (the criterion
+    skimage.threshold_multiotsu optimizes).
+
+    Dynamic program over segment scores: S[a, b] = m(a,b)^2 / w(a,b) for
+    histogram segment [a, b]; thresholds maximize the sum of per-class
+    scores. O(256^2 * classes) — exact, no exhaustive search.
+    """
+    hist = np.bincount(image_u8.ravel(), minlength=256).astype(np.float64)
+    p = hist / hist.sum()
+    lv = np.arange(256, dtype=np.float64)
+    cum_p = np.concatenate([[0.0], np.cumsum(p)])        # cum_p[i] = sum p[:i]
+    cum_m = np.concatenate([[0.0], np.cumsum(p * lv)])
+
+    # segment [a, b] inclusive → weight/mean-sum matrices (upper triangular)
+    a_idx = np.arange(256)[:, None]
+    b_idx = np.arange(256)[None, :]
+    w = cum_p[b_idx + 1] - cum_p[a_idx]
+    m = cum_m[b_idx + 1] - cum_m[a_idx]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s = np.where((w > 0) & (b_idx >= a_idx), m * m / np.maximum(w, 1e-300),
+                     -np.inf)
+
+    nthr = classes - 1
+    # best[k][t] = max score of splitting [0, t] into k+1 classes;
+    # arg[k][t] = last threshold achieving it
+    best = s[0, :].copy()                                 # k = 0: one class
+    args = []
+    for _ in range(nthr):
+        # new_best[t] = max over th < t of best[th] + s[th+1, t]
+        cand = best[:-1, None] + s[1:, :]                 # cand[th, t], th<256-1
+        # mask th >= t (invalid: need th < t)
+        th_idx = np.arange(255)[:, None]
+        t_idx = np.arange(256)[None, :]
+        cand = np.where(th_idx < t_idx, cand, -np.inf)
+        arg = np.argmax(cand, axis=0)
+        best = cand[arg, np.arange(256)]
+        args.append(arg)
+
+    # backtrack from t = 255
+    ths = []
+    t = 255
+    for arg in reversed(args):
+        t = int(arg[t])
+        ths.append(t)
+    return np.array(sorted(ths))
+
+
+def threshold_im(im_in: np.ndarray, compensation: bool = False):
+    """Direct-light binary mask + ROI + bbox corners.
+
+    im_in: HxWx3 float [0,1] (or already-binary HxW bool).
+    Returns (im_mask [H,W] bool, im_roi [H,W] bool, corners 4x[x,y] in
+    [-1,1] grid coords). Ref ``img_proc.py:13-65`` (multi-Otsu levels 4/2,
+    all-contours convex hull in the non-compensation path, bbox normalized
+    to the grid_sample coordinate system).
+    """
+    if im_in.ndim == 3:
+        im = np.clip(im_in, 0, 1)
+        im = cv.cvtColor(im.astype(np.float32), cv.COLOR_RGB2GRAY)
+        im_u8 = np.uint8(im * 255)
+        smooth = cv.GaussianBlur(im_u8, (3, 3), 1.5)
+        if compensation:
+            ths = multi_otsu(smooth, classes=4)
+            im_mask = np.digitize(im_u8, bins=ths) > 2
+        else:
+            ths = multi_otsu(smooth, classes=2)
+            im_mask = np.digitize(smooth, bins=ths) > 0
+    elif im_in.dtype == bool:
+        im_mask = im_in
+    else:
+        raise ValueError("expected HxWx3 float or HxW bool")
+
+    contours, _ = cv.findContours(np.uint8(im_mask), cv.RETR_TREE,
+                                  cv.CHAIN_APPROX_SIMPLE)
+    if compensation:
+        max_contours = max(contours, key=cv.contourArea)
+        hulls = cv.convexHull(max_contours)
+    else:
+        max_contours = np.concatenate(contours)
+        hulls = cv.convexHull(max_contours)
+    im_roi = cv.fillConvexPoly(np.zeros(im_mask.shape, np.uint8), hulls, True) > 0
+
+    x, y, w, h = cv.boundingRect(max_contours)
+    corners = [[x, y], [x + w, y], [x + w, y + h], [x, y + h]]
+    ih, iw = im_mask.shape
+    corners = [[2 * (cx / iw) - 1, 2 * (cy / ih) - 1] for cx, cy in corners]
+    return im_mask, im_roi, corners
+
+
+def checkerboard(*args) -> np.ndarray:
+    """MATLAB-style checkerboard (ref ``img_proc.py:68-106``): left half
+    0/1 tiles, right half 0/0.7 tiles."""
+    n, p = 10, 4
+    if len(args) == 1:
+        n = args[0]
+        q = p
+    elif len(args) == 2:
+        n, p = args
+        q = p
+    elif len(args) == 3:
+        n, p, q = args
+    else:
+        q = p
+
+    tile = np.kron([[0, 1], [1, 0]], np.ones((n, n)))
+    if q % 2 == 0:
+        reps = int(np.ceil(q / 2))
+        left = np.tile(tile, (p, reps))
+        tile_r = np.kron([[0, 0.7], [0.7, 0]], np.ones((n, n)))
+        right = np.tile(tile_r, (p, reps))
+        out = np.concatenate([left, right], axis=1)
+    else:
+        out = np.tile(tile, (p, q))
+        mid = out.shape[1] // 2 + 1
+        out[:, mid:] = np.maximum(out[:, mid:] - 0.3, 0)
+    return out.astype(np.float64)
+
+
+def create_gray_pattern(w: int, h: int) -> np.ndarray:
+    """Gray-code structured-light patterns → (N, h, w, 3) uint8
+    (ref ``img_proc.py:135-171``; generated by the capture workflow,
+    unused by SPAA itself)."""
+    nbits = np.ceil(np.log2([w, h])).astype(int)
+    offset = (2 ** nbits - np.array([w, h])) // 2
+
+    c, r = np.meshgrid(np.arange(w), np.arange(h))
+    coords = [c + offset[0], r + offset[1]]
+    bin_patterns = []
+    for axis in range(2):
+        v = coords[axis].astype(np.uint16)
+        bits = ((v[..., None] >> np.arange(nbits[axis])) & 1).astype(np.uint8)
+        bin_patterns.append(bits[..., ::-1])  # MSB first
+
+    gray_patterns = []
+    for bp in bin_patterns:
+        gp = bp.copy()
+        for i in range(1, bp.shape[-1]):
+            gp[..., i] = np.bitwise_xor(bp[..., i - 1], bp[..., i])
+        gray_patterns.append(gp)
+
+    num = 2 * int(nbits.sum()) + 2
+    pats = np.zeros((h, w, num), np.uint8)
+    pats[:, :, 0] = 1
+    k = 2
+    for gp in gray_patterns:
+        for i in range(gp.shape[-1]):
+            pats[:, :, k] = gp[..., i]
+            pats[:, :, k + 1] = 1 - gp[..., i]
+            k += 2
+    pats *= 255
+    return np.transpose(np.tile(pats[..., None], (1, 1, 1, 3)), (2, 0, 1, 3))
+
+
+def insert_text(im_hwc: np.ndarray, text: str, pos, font_sz: int = 14,
+                color=(0, 0, 0)) -> np.ndarray:
+    """Annotate an HWC float image with text (PIL). Ref
+    ``img_proc.py:174-190`` (used by attack-result montages)."""
+    from PIL import Image, ImageDraw, ImageFont
+    im = Image.fromarray(np.uint8(np.clip(im_hwc, 0, 1) * 255))
+    try:
+        font = ImageFont.truetype(
+            "/usr/share/fonts/truetype/liberation/LiberationSans-Regular.ttf",
+            font_sz)
+    except OSError:
+        font = ImageFont.load_default()
+    ImageDraw.Draw(im).text(tuple(pos), text, color, font=font)
+    return np.asarray(im).astype(np.float32) / 255.0
+
+
+def expand_border(im_hwc: np.ndarray, border=(0, 20, 0, 0),
+                  fill=(255, 255, 255)) -> np.ndarray:
+    """Pad borders (left, top, right, bottom). Ref ``img_proc.py:193-197``."""
+    from PIL import Image, ImageOps
+    im = Image.fromarray(np.uint8(np.clip(im_hwc, 0, 1) * 255))
+    im = ImageOps.expand(im, border=tuple(border), fill=tuple(fill))
+    return np.asarray(im).astype(np.float32) / 255.0
+
+
+def to_pseudocolor(x: np.ndarray, colormap=cv.COLORMAP_JET) -> np.ndarray:
+    """Normalize + colormap an HxW array → HWC float RGB
+    (ref ``img_proc.py:200-207`` / ``projector_based_attack.py:381``)."""
+    x = np.squeeze(np.asarray(x))
+    x = (x - x.min()) / max(x.max() - x.min(), 1e-12)
+    cm = cv.applyColorMap(np.uint8(x * 255), colormap)
+    return cv.cvtColor(cm, cv.COLOR_BGR2RGB).astype(np.float32) / 255.0
+
+
+def make_grid(images: np.ndarray, nrow: int = 8, padding: int = 2,
+              pad_value: float = 0.0) -> np.ndarray:
+    """Tile NHWC images into a single HWC montage (torchvision
+    ``make_grid`` equivalent used by ``attack_results``,
+    ``projector_based_attack.py:385``)."""
+    imgs = np.asarray(images)
+    n, h, w, c = imgs.shape
+    ncol = min(nrow, n)
+    nr = int(np.ceil(n / ncol))
+    gh = nr * (h + padding) + padding
+    gw = ncol * (w + padding) + padding
+    grid = np.full((gh, gw, c), pad_value, imgs.dtype)
+    for k in range(n):
+        r, col = divmod(k, ncol)
+        y0 = r * (h + padding) + padding
+        x0 = col * (w + padding) + padding
+        grid[y0:y0 + h, x0:x0 + w] = imgs[k]
+    return grid

@@ -1,0 +1,180 @@
+"""Real ProCams hardware I/O (projector window + camera capture).
+
+Re-design of reference ``utils.py:495-625``. Host-side by design; imports
+of matplotlib/Qt and camera devices happen lazily so the module is safely
+importable on headless TPU hosts (the reference hard-crashes without a
+display/visdom server — here everything degrades gracefully, and the
+synthetic ``SimProCams`` exposes the same interface for hardware-free use).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+import warnings
+from os.path import join
+
+import cv2 as cv
+import numpy as np
+
+from spaa_tpu.utils.io import imread_dir
+
+
+def init_prj_window(prj_w: int, prj_h: int, val: float, offset=(3840, 0)):
+    """Fullscreen matplotlib window on the projector display
+    (ref ``utils.py:495-533``). Returns the image artist whose
+    ``set_data`` updates the projection."""
+    import matplotlib
+    import matplotlib.pyplot as plt
+    matplotlib.rcParams["toolbar"] = "None"
+    matplotlib.rcParams["figure.facecolor"] = "black"
+
+    im = np.ones((prj_h, prj_w, 3), np.uint8) * int(val * 255)
+    disp = min(prj_h, prj_w)
+    im = cv.resize(im, (disp, disp))
+
+    backend = plt.get_backend()
+    fig = plt.figure()
+    if "Qt" in backend:
+        fig.canvas.window().statusBar().setVisible(False)
+    ax = plt.imshow(im, interpolation="bilinear")
+    plt.axis("off")
+    plt.tight_layout()
+    plt.subplots_adjust(left=0, right=1, top=1, bottom=0)
+    mng = plt.get_current_fig_manager()
+    if "Qt" in backend:
+        mng.window.setGeometry(*offset, prj_w, prj_h)
+        mng.full_screen_toggle()
+    elif "Tk" in backend:
+        mng.window.geometry(f"{prj_w}x{prj_h}+{offset[0]}+{offset[1]}")
+        mng.window.overrideredirect(1)
+        mng.window.state("zoomed")
+        plt.pause(0.02)
+    fig.show()
+    return ax
+
+
+def init_cam(cam_raw_sz=None):
+    """OpenCV camera with single-frame buffer at max fps
+    (ref ``utils.py:536-551``)."""
+    cam = cv.VideoCapture(0, cv.CAP_DSHOW) if sys.platform == "win32" \
+        else cv.VideoCapture(0)
+    if cam_raw_sz is not None:
+        cam.set(cv.CAP_PROP_FRAME_WIDTH, cam_raw_sz[0])
+        cam.set(cv.CAP_PROP_FRAME_HEIGHT, cam_raw_sz[1])
+    cam.set(cv.CAP_PROP_BUFFERSIZE, 1)
+    cam.set(cv.CAP_PROP_FPS, 60)
+    time.sleep(2)
+    if not cam.isOpened():
+        print("Cannot open camera")
+    return cam
+
+
+def _center_crop_np(im: np.ndarray, size_wh) -> np.ndarray:
+    tw, th = size_wh
+    h, w = im.shape[:2]
+    i = int(round((h - th) / 2.0))
+    j = int(round((w - tw) / 2.0))
+    return im[i:i + th, j:j + tw]
+
+
+def preview_cam(cam_raw_sz=None, cam_crop_sz=None):
+    """Live preview until 'q' (ref ``utils.py:554-575``)."""
+    cam = init_cam(cam_raw_sz)
+    while True:
+        ok, im_cam = cam.read()
+        if not ok:
+            print("Can't receive frame (stream end?). Exiting ...")
+            break
+        im = _center_crop_np(im_cam, cam_crop_sz) if cam_crop_sz else im_cam
+        cv.imshow("Camera preview (press q to exit)", im)
+        if cv.waitKey(1) == ord("q"):
+            break
+    cam.release()
+    cv.destroyAllWindows()
+
+
+class HardwareProCams:
+    """Object-style driver so attackers/tests can hold one interface for
+    hardware and simulator (``capture``/``project_capture_data``)."""
+
+    def __init__(self, setup_info):
+        self.setup_info = setup_info
+        self.prj = init_prj_window(*setup_info["prj_screen_sz"],
+                                   setup_info["prj_brightness"],
+                                   setup_info["prj_offset"])
+        self.cam = init_cam(setup_info["cam_raw_sz"])
+
+    def project(self, im_hwc: np.ndarray, delay_time: float = 0.3):
+        import matplotlib.pyplot as plt
+        im = im_hwc if im_hwc.dtype == np.uint8 \
+            else (im_hwc * 255).astype(np.uint8)
+        self.prj.set_data(im)
+        plt.pause(delay_time)
+        plt.draw()
+
+    def capture(self, prj_im: np.ndarray | None = None) -> np.ndarray:
+        info = self.setup_info
+        if prj_im is not None:
+            self.project(prj_im, info["delay_time"])
+        for _ in range(info["delay_frames"]):
+            _, im_cam = self.cam.read()
+        im = cv.resize(_center_crop_np(im_cam, info["cam_crop_sz"]),
+                       tuple(info["cam_im_sz"]),
+                       interpolation=cv.INTER_AREA)
+        return cv.cvtColor(im, cv.COLOR_BGR2RGB).astype(np.float32) / 255.0
+
+    def project_capture_data(self, prj_input_path: str, cam_cap_path: str,
+                             setup_info=None) -> None:
+        project_capture_data(prj_input_path, cam_cap_path,
+                             setup_info or self.setup_info,
+                             prj=self.prj, cam=self.cam)
+
+    def release(self):
+        import matplotlib.pyplot as plt
+        self.cam.release()
+        plt.close("all")
+
+
+def project_capture_data(prj_input_path: str, cam_cap_path: str, setup_info,
+                         prj=None, cam=None) -> None:
+    """Batch project-and-capture with open-loop sync
+    (ref ``utils.py:578-625``): per image, project → pause ``delay_time`` →
+    drop ``delay_frames`` stale frames → crop/resize/save."""
+    print(f"Projecting {prj_input_path} and \ncapturing to {cam_cap_path}")
+    info = setup_info
+    os.makedirs(cam_cap_path, exist_ok=True)
+
+    im_prj = np.uint8(imread_dir(prj_input_path) * 255)
+    prj_im_aspect = im_prj.shape[2] / im_prj.shape[1]
+    prj_screen_aspect = info["prj_screen_sz"][0] / info["prj_screen_sz"][1]
+    if not math.isclose(prj_im_aspect, prj_screen_aspect, abs_tol=1e-3):
+        warnings.warn(
+            f"projector input aspect {prj_im_aspect} differs from screen "
+            f"aspect {prj_screen_aspect}; image will center-fill the screen")
+
+    import matplotlib.pyplot as plt
+    own = prj is None
+    if own:
+        plt.close("all")
+        prj = init_prj_window(*info["prj_screen_sz"], 0.5, info["prj_offset"])
+        cam = init_cam(info["cam_raw_sz"])
+        for _ in range(100):  # clear camera buffer
+            cam.read()
+
+    for i in range(im_prj.shape[0]):
+        prj.set_data(im_prj[i])
+        plt.pause(info["delay_time"])
+        plt.draw()
+        for _ in range(info["delay_frames"]):
+            _, im_cam = cam.read()
+        out = cv.resize(_center_crop_np(im_cam, info["cam_crop_sz"]),
+                        tuple(info["cam_im_sz"]),
+                        interpolation=cv.INTER_AREA)
+        cv.imwrite(join(cam_cap_path, f"img_{i + 1:04d}.png"), out)
+
+    if own:
+        cam.release()
+        plt.close("all")

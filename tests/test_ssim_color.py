@@ -92,7 +92,9 @@ def test_rgb2lab_known_values():
     lab = np.asarray(rgb2lab_diff(rgb))
     assert lab[0, 0, 0, 0] == pytest.approx(100.0, abs=0.5)
     assert abs(lab[0, 0, 0, 1]) < 0.5 and abs(lab[0, 0, 0, 2]) < 0.5
-    np.testing.assert_allclose(lab[0, 0, 1], [0, 0, 0], atol=1e-5)
+    # reference quirk: f(0) is masked to 0, so pure black gives L = -16
+    # (differential_color_functions.py:27-36,57)
+    np.testing.assert_allclose(lab[0, 0, 1], [-16, 0, 0], atol=1e-5)
 
 
 def test_deltaE_zero_and_positive(rng):
