@@ -1,0 +1,139 @@
+"""Headline benchmark: SPAA attack wall-clock per (stealth_loss, d_thr)
+config on one TPU chip.
+
+Reference anchor (BASELINE.md): 42.5 s per config across all 3 classifiers
+(1 untargeted + 10 batched targeted attacks, 50 iterations each) on the
+authors' CUDA GPU — reference ``projector_based_attack.py:83``.
+
+This bench performs the same work at the benchmark shapes (camera 320x240,
+projector 256x256, ImageNet classifiers at 224/299 input): for each of
+resnet18 / vgg16 / inception_v3, one jitted 50-iteration SPAA run over an
+11-image batch (10 targeted + 1 untargeted, per-sample flags) through a
+frozen PCNet simulator. Compilation is excluded (the persistent compile
+cache amortizes it across the sweep's 36 configs and across runs).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
+vs_baseline is the speedup vs the 42.5 s reference anchor (>1 is faster).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import json
+import sys
+import time
+
+BASELINE_S = 42.5  # ref projector_based_attack.py:83
+CLASSIFIERS = ("resnet18", "vgg16", "inception_v3")
+CAM_HW = (240, 320)   # benchmark cam_im_sz [320, 240] (data/README.md)
+PRJ_HW = (256, 256)   # benchmark prj_im_sz [256, 256]
+CP_SZ = (240, 240)    # classifier_crop_sz
+BATCH = 11            # 10 targeted + 1 untargeted
+
+
+def _build(log):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spaa_tpu.attack.spaa import SpaaConfig, spaa_attack_batched
+    from spaa_tpu.models import PCNet
+    from spaa_tpu.models.pcnet import PCNetCache
+    from spaa_tpu.models.classifiers import load_params, make_logits_fn
+    from spaa_tpu.utils.jaxtools import host_init
+
+    rng = np.random.default_rng(0)
+    pcnet = PCNet(out_size=CAM_HW)
+    cam_scene = rng.random((1, *CAM_HW, 3), np.float32)
+    mask = np.ones((*CAM_HW, 1), np.float32)
+
+    t0 = time.time()
+    params = host_init(lambda: pcnet.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, *PRJ_HW, 3)),
+        jnp.asarray(cam_scene), jnp.asarray(mask))["params"])
+    log(f"[bench] pcnet host-init {time.time() - t0:.1f}s")
+    cache_fn = jax.jit(lambda p, s, m: pcnet.apply(
+        {"params": p}, s, m, method=PCNet.simplify_cache))
+    cache = cache_fn(params, cam_scene, mask)
+
+    pcnet_state = dict(params=params, cache=cache,
+                       mask=jnp.asarray(mask), scene=jnp.asarray(cam_scene))
+
+    def pcnet_apply(st, prj):
+        scene = jnp.broadcast_to(st["scene"],
+                                 (prj.shape[0],) + st["scene"].shape[1:])
+        return pcnet.apply({"params": st["params"]}, prj, scene, st["mask"],
+                           cache=st["cache"])
+
+    runs = []
+    for name in CLASSIFIERS:
+        t0 = time.time()
+        cparams = load_params(name, None, verbose=False)
+        log(f"[bench] {name}: params ready {time.time() - t0:.1f}s")
+        lf = make_logits_fn(name)
+
+        def logits_fn(params, im, _lf=lf):
+            return _lf(params, im, CP_SZ)
+
+        target_idx = jnp.arange(BATCH, dtype=jnp.int32) * 37 % 1000
+        targeted = jnp.asarray([True] * 10 + [False])
+        weights = jnp.tile(jnp.asarray([0.1, 1.0, 1.0]), (BATCH, 1))
+        d_thr = jnp.full((BATCH,), 5.0)
+        prj_init = jnp.full((BATCH, *PRJ_HW, 3), 0.5)
+
+        fn = jax.jit(lambda st, cp, p0, ti, tg, w, dt, _f=logits_fn:
+                     spaa_attack_batched(pcnet_apply, _f, st, cp,
+                                         jnp.asarray(cam_scene), p0,
+                                         ti, tg, w, dt, SpaaConfig()))
+        args = (pcnet_state, cparams, prj_init, target_idx, targeted,
+                weights, d_thr)
+        t0 = time.time()
+        out = fn(*args)
+        np.asarray(jax.tree.leaves(out)[0].ravel()[0])  # real barrier (axon)
+        log(f"[bench] {name}: compile+first-run {time.time() - t0:.1f}s")
+        runs.append((fn, args))
+    return runs
+
+
+def main() -> None:
+    import jax
+    import numpy as np
+
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    def force(outs):
+        # On the axon-tunneled TPU backend block_until_ready returns before
+        # execution finishes; a device->host materialization is the only
+        # reliable completion barrier. Pull one element per output.
+        vals = [np.asarray(leaf.ravel()[0])
+                for o in outs for leaf in jax.tree.leaves(o)]
+        assert all(np.isfinite(v) for v in vals), "non-finite attack output"
+
+    log(f"[bench] backend={jax.default_backend()} devices={jax.devices()}")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        runs = _build(log)
+
+    # timed: one full config = all 3 classifiers, best of 3 repeats
+    best = float("inf")
+    for rep in range(3):
+        t0 = time.time()
+        outs = [fn(*args) for fn, args in runs]
+        force(outs)
+        dt = time.time() - t0
+        log(f"[bench] rep {rep}: {dt:.3f}s")
+        best = min(best, dt)
+
+    print(json.dumps({
+        "metric": "spaa_attack_config_wallclock",
+        "value": round(best, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_S / best, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -15,3 +15,11 @@ Layers (bottom-up), mirroring the reference inventory (SURVEY.md §1-2):
 """
 
 __version__ = "0.1.0"
+
+# persistent XLA compilation cache: the benchmark re-runs large jitted
+# programs (attack loops, train segments) across many processes/rounds;
+# without this every process pays tens of seconds of recompilation
+from spaa_tpu.utils.jaxtools import enable_compilation_cache as _ecc
+
+_ecc()
+del _ecc

@@ -22,6 +22,7 @@ early stop on attack success.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import jax
@@ -44,12 +45,14 @@ def perturb_image_np(x: np.ndarray, im: np.ndarray,
     return im_adv.astype(np.float32) / 255.0
 
 
-def _make_batched_perturb(im: jax.Array, pixel_size: int):
-    """vmapped block write: population [P, 5k] → images [P, H, W, C]."""
+def _make_batched_perturb(pixel_size: int):
+    """vmapped block write: (image [H,W,C], population [P, 5k]) →
+    images [P, H, W, C]. The image is an argument, not a closure, so it
+    stays a jit input (see ``attack/spaa.py`` note on closure constants)."""
     d = pixel_size // 2
     sz = 2 * d + 1
 
-    def one(x):
+    def one(im, x):
         img = im
         k = x.shape[0] // 5
         for j in range(k):
@@ -60,7 +63,7 @@ def _make_batched_perturb(im: jax.Array, pixel_size: int):
             img = jax.lax.dynamic_update_slice(img, tile, (r - d, c - d, 0))
         return img
 
-    return jax.vmap(one)
+    return jax.vmap(one, in_axes=(None, 0))
 
 
 class BatchedDE:
@@ -149,23 +152,24 @@ class DigitalOnePixelAttacker:
         popmul = max(1, popsize // len(bounds))
         npop = popmul * len(bounds)
 
-        perturb = _make_batched_perturb(im, pixel_size)
-        logits = classifier._jitted  # params, im, crop_sz
+        perturb = _make_batched_perturb(pixel_size)
+        crop_sz = self.classifier_crop_sz
 
-        @jax.jit
-        def population_probs(pop):
-            imgs = perturb(pop)
-            raw = classifier._logits_fn(classifier.params, imgs,
-                                        self.classifier_crop_sz)
+        @functools.partial(jax.jit, static_argnums=(0,))
+        def population_probs(logits_fn, params, img, pop):
+            imgs = perturb(img, pop)
+            raw = logits_fn(params, imgs, crop_sz)
             return jax.nn.softmax(raw, axis=1)[:, target_idx]
 
         def fitness(pop):
-            probs = np.asarray(population_probs(jnp.asarray(pop)))
+            probs = np.asarray(population_probs(
+                classifier._logits_fn, classifier.params, im,
+                jnp.asarray(pop)))
             return (1.0 - probs) if targeted_attack else probs
 
         def callback(best_x):
             _, p, _ = classifier(
-                perturb(jnp.asarray(best_x[None]))[0],
+                perturb(im, jnp.asarray(best_x[None]))[0],
                 self.classifier_crop_sz)
             pred = int(p[0].argmax())
             if verbose:
@@ -180,7 +184,7 @@ class DigitalOnePixelAttacker:
                        recombination=1.0, seed=seed, callback=callback)
         best_x, _ = de.solve()
 
-        im_adv = perturb(jnp.asarray(best_x[None]))[0]
+        im_adv = perturb(im, jnp.asarray(best_x[None]))[0]
         _, p, _ = classifier(jnp.stack([im, im_adv], 0),
                              self.classifier_crop_sz)
         true_p, pred_p = p[0].max(), p[1].max()
@@ -193,7 +197,6 @@ class DigitalOnePixelAttacker:
               true_p, pred_p, cdiff]],
             columns=["classifier", "pixel_count", "true_idx", "pred_idx",
                      "success", "true_p", "pred_p", "cdiff"])
-        del logits
         return table, im_adv
 
     __call__ = attack

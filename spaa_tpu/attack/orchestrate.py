@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from spaa_tpu.attack.perc_al import PerC_AL
-from spaa_tpu.attack.spaa import SpaaConfig, spaa_attack_batched, stealth_weights
+from spaa_tpu.attack.spaa import (SpaaConfig, spaa_attack_auto,
+                                  spaa_attack_batched, stealth_weights)
 from spaa_tpu.models.classifiers import (Classifier, load_imagenet_labels,
                                          make_logits_fn)
 from spaa_tpu.models.pcnet import PCNet
@@ -97,11 +98,11 @@ def perc_al_compennet_pp(compennet_pp_apply, classifier: Classifier,
                        alpha_c_init=0.5, confidence=confidence)
     cp_sz = tuple(int(c) for c in setup_info["classifier_crop_sz"])
 
-    def logits_fn(im):
-        return classifier._logits_fn(classifier.params, im, cp_sz)
+    def logits_fn(params, im):
+        return classifier._logits_fn(params, im, cp_sz)
 
     cam_infer_best = attacker.adversary_projector(
-        logits_fn, cam_scene_b, np.asarray(target_idx),
+        logits_fn, classifier.params, cam_scene_b, np.asarray(target_idx),
         imagenet_labels=imagenet_labels, d_thr=d_thr, targeted=targeted)
     prj_adv_best = compennet_pp_apply(cam_infer_best, cam_scene_b)
     return cam_infer_best, prj_adv_best
@@ -206,17 +207,24 @@ def run_projector_based_attack(cfg, procams=None,
     return cfg
 
 
-def _pcnet_closure(trained):
-    """Frozen PCNet forward with the baked simplify cache."""
-    cache = trained.simplify()
-    model, params, mask = trained.model, trained.params, trained.mask
-    scene = jnp.asarray(trained.cam_scene)
+def make_pcnet_fn(trained):
+    """Frozen PCNet forward with the baked simplify cache.
 
-    def pcnet_apply(prj):
-        s = jnp.broadcast_to(scene, (prj.shape[0],) + scene.shape[1:])
-        return model.apply({"params": params}, prj, s, mask, cache=cache)
+    Returns ``(pcnet_apply, pcnet_state)`` with
+    ``pcnet_apply(pcnet_state, prj) -> cam_infer`` — the state pytree is a
+    jit *argument* everywhere (closure-captured device arrays would be
+    baked into the compiled program as constants)."""
+    model = trained.model
+    state = dict(params=trained.params, cache=trained.simplify(),
+                 mask=trained.mask, scene=jnp.asarray(trained.cam_scene))
 
-    return pcnet_apply
+    def pcnet_apply(st, prj):
+        s = jnp.broadcast_to(st["scene"],
+                             (prj.shape[0],) + st["scene"].shape[1:])
+        return model.apply({"params": st["params"]}, prj, s, st["mask"],
+                           cache=st["cache"])
+
+    return pcnet_apply, state
 
 
 def _run_spaa_sweep(cfg, trained, classifier, cam_scene, target_idx,
@@ -225,11 +233,10 @@ def _run_spaa_sweep(cfg, trained, classifier, cam_scene, target_idx,
     """All (stealth_loss × d_thr) configs × (1 untargeted + 10 targeted) as
     ONE batched attack, then unpack into the reference directory layout."""
     cp_sz = tuple(int(c) for c in setup_info["classifier_crop_sz"])
-    pcnet_apply = _pcnet_closure(trained)
+    pcnet_apply, pcnet_state = make_pcnet_fn(trained)
     logits_fn_inner = make_logits_fn(classifier.name)
-    params = classifier.params
 
-    def logits_fn(im):
+    def logits_fn(params, im):
         return logits_fn_inner(params, im, cp_sz)
 
     configs = [(sl, d) for sl in cfg.stealth_losses for d in cfg.d_threshes]
@@ -252,11 +259,12 @@ def _run_spaa_sweep(cfg, trained, classifier, cam_scene, target_idx,
         w[s:s + per_cfg] = stealth_weights(sl)
         dt[s:s + per_cfg] = float(d)
 
-    cam_best, prj_best = jax.jit(
-        lambda *a: spaa_attack_batched(pcnet_apply, logits_fn, *a,
-                                       cfg=SpaaConfig()))(
+    spaa_cfg = SpaaConfig(iters=int(cfg.get("attack_iters", 50)))
+    cam_best, prj_best = spaa_attack_auto(
+        pcnet_apply, logits_fn, pcnet_state, classifier.params,
         jnp.asarray(cam_scene), prj_init, jnp.asarray(tgt),
-        jnp.asarray(targeted), jnp.asarray(w), jnp.asarray(dt))
+        jnp.asarray(targeted), jnp.asarray(w), jnp.asarray(dt),
+        spaa_cfg)
     cam_best = np.asarray(cam_best)
     prj_best = np.asarray(prj_best)
 
@@ -277,9 +285,11 @@ def _run_percal_sweep(cfg, trained, classifier, cam_scene, target_idx,
                       true_idx, setup_info, setup_path, attacker_cfg_str,
                       classifier_name, imagenet_labels):
     model, params = trained.model, trained.params
+    jit_apply = jax.jit(lambda p, cam, scene:
+                        model.apply({"params": p}, cam, scene))
 
     def compennet_pp_apply(cam, scene):
-        return model.apply({"params": params}, cam, scene)
+        return jit_apply(params, cam, scene)
 
     for stealth_loss in cfg.stealth_losses:
         for d_thr in cfg.d_threshes:

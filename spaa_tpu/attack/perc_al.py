@@ -52,12 +52,15 @@ def _cross_entropy(raw: jax.Array, labels: jax.Array) -> jax.Array:
     return -jnp.sum(logp[jnp.arange(raw.shape[0]), labels])
 
 
-def perc_al_core(logits_fn: Callable, inputs: jax.Array, labels: jax.Array,
-                 targeted: bool, cfg: PercALConfig,
+def perc_al_core(logits_fn: Callable, clf_params, inputs: jax.Array,
+                 labels: jax.Array, targeted: bool, cfg: PercALConfig,
                  d_thr: jax.Array | None = None,
                  projector_variant: bool = False):
     """Shared loop for ``adversary`` (projector_variant=False) and
-    ``adversary_projector`` (True). Returns X_adv_round_best."""
+    ``adversary_projector`` (True). Returns X_adv_round_best.
+
+    ``logits_fn(clf_params, im)`` with the classifier weights passed as a
+    jit argument (never a closure — see ``attack/spaa.py`` note)."""
     b = inputs.shape[0]
     inputs_lab = rgb2lab_diff(inputs)
     multiplier = -1.0 if targeted else 1.0
@@ -66,7 +69,7 @@ def perc_al_core(logits_fn: Callable, inputs: jax.Array, labels: jax.Array,
     use_conf = (not targeted) and cfg.confidence != 0
 
     def adv_loss_fn(delta):
-        raw = logits_fn(inputs + delta)
+        raw = logits_fn(clf_params, inputs + delta)
         return multiplier * _cross_entropy(raw, labels)
 
     def color_fn(delta):
@@ -92,7 +95,7 @@ def perc_al_core(logits_fn: Callable, inputs: jax.Array, labels: jax.Array,
         delta = jnp.clip(inputs + delta, 0.0, 1.0) - inputs
         x_round = quantization(inputs + delta)
 
-        raw = logits_fn(x_round)
+        raw = logits_fn(clf_params, x_round)
         p = jax.nn.softmax(raw, axis=1)
         top_idx = jnp.argmax(raw, axis=1)
         top_p = jnp.max(p, axis=1)
@@ -142,24 +145,25 @@ class PerC_AL:
         self.cfg = PercALConfig(max_iterations, alpha_l_init, alpha_c_init,
                                 confidence)
 
-    def adversary(self, logits_fn: Callable, inputs, labels,
+    def adversary(self, logits_fn: Callable, clf_params, inputs, labels,
                   targeted: bool = True):
-        """Digital PerC-AL (ref ``:53-131``). logits_fn must include the
-        model's own preprocessing; inputs in [0,1]."""
+        """Digital PerC-AL (ref ``:53-131``). logits_fn(clf_params, im)
+        must include the model's own preprocessing; inputs in [0,1]."""
         inputs = jnp.asarray(inputs)
         if float(inputs.min()) < 0 or float(inputs.max()) > 1:
             raise ValueError("Input values should be in the [0, 1] range.")
         run = jax.jit(functools.partial(perc_al_core, logits_fn,
                                         targeted=targeted, cfg=self.cfg,
                                         projector_variant=False))
-        return run(inputs, jnp.asarray(np.asarray(labels), jnp.int32))
+        return run(clf_params, inputs,
+                   jnp.asarray(np.asarray(labels), jnp.int32))
 
-    def adversary_projector(self, logits_fn: Callable, inputs, labels,
-                            imagenet_labels=None, d_thr=5.0,
+    def adversary_projector(self, logits_fn: Callable, clf_params, inputs,
+                            labels, imagenet_labels=None, d_thr=5.0,
                             targeted: bool = True, cp_sz=(240, 240),
                             verbose: bool = True):
         """Projector-adapted variant (ref ``:133-256``). ``logits_fn`` is
-        the classifier pipeline already closed over ``cp_sz``."""
+        the classifier pipeline already specialized to ``cp_sz``."""
         del cp_sz
         inputs = jnp.asarray(inputs)
         if float(inputs.min()) < 0 or float(inputs.max()) > 1:
@@ -167,10 +171,11 @@ class PerC_AL:
         run = jax.jit(functools.partial(perc_al_core, logits_fn,
                                         targeted=targeted, cfg=self.cfg,
                                         projector_variant=True))
-        x_best = run(inputs, jnp.asarray(np.asarray(labels), jnp.int32),
+        x_best = run(clf_params, inputs,
+                     jnp.asarray(np.asarray(labels), jnp.int32),
                      d_thr=jnp.full((inputs.shape[0],), float(d_thr)))
         if verbose and imagenet_labels is not None:
-            raw = logits_fn(x_best)
+            raw = logits_fn(clf_params, x_best)
             p = jax.nn.softmax(raw, axis=1)
             v = 7 if (targeted and inputs.shape[0] > 7) else 0
             idx = int(jnp.argmax(raw[v]))

@@ -53,8 +53,14 @@ def stealth_weights(stealth_loss: str):
 
 def _per_sample_l2(diff: jax.Array) -> jax.Array:
     """Mean per-pixel channel L2 norm per sample (Zhao CVPR'20 flavor,
-    ref ``:275-279``): [B, H, W, C] → [B]."""
-    return jnp.mean(jnp.sqrt(jnp.sum(diff * diff, axis=-1)), axis=(1, 2))
+    ref ``:275-279``): [B, H, W, C] → [B].
+
+    sqrt is guarded: at exactly-zero pixel diffs (e.g. prjl2 at iteration 0
+    where prj_adv == gray init) d√x/dx → ∞ and the pullback is NaN, which
+    would poison the whole sample through gradient normalization. The
+    ``maximum`` guard routes the gradient to the constant branch there."""
+    s = jnp.sum(diff * diff, axis=-1)
+    return jnp.mean(jnp.sqrt(jnp.maximum(s, 1e-12)), axis=(1, 2))
 
 
 def _normalized(g: jax.Array) -> jax.Array:
@@ -64,8 +70,10 @@ def _normalized(g: jax.Array) -> jax.Array:
 
 
 def spaa_attack_batched(
-    pcnet_apply: Callable,          # prj [B,Hp,Wp,3] -> cam_infer [B,H,W,3]
-    logits_fn: Callable,            # cam_infer -> raw logits [B, 1000]
+    pcnet_apply: Callable,          # (pcnet_state, prj [B,Hp,Wp,3]) -> cam_infer
+    logits_fn: Callable,            # (clf_params, cam_infer) -> raw logits
+    pcnet_state,                    # pytree: frozen PCNet params/cache/mask/...
+    clf_params,                     # pytree: frozen classifier params
     cam_scene: jax.Array,           # [1, H, W, 3]
     prj_init: jax.Array,            # [B, Hp, Wp, 3] (gray)
     target_idx: jax.Array,          # [B] int32
@@ -78,92 +86,137 @@ def spaa_attack_batched(
 
     Jittable; every per-config quantity is a traced array so one compiled
     program serves the whole stealth_loss × d_thr sweep.
+
+    ``pcnet_state``/``clf_params`` are explicit arguments (NOT closures) so
+    the frozen weights stay jit inputs — closure-captured device arrays
+    would be embedded as program constants, which bloats the executable,
+    defeats the compilation cache, and on networked TPU backends re-ships
+    the weights with every dispatch.
     """
     b = prj_init.shape[0]
     cam_scene_b = jnp.broadcast_to(cam_scene, (b,) + cam_scene.shape[1:])
+
+    def body(i, state):
+        del i
+        return _spaa_body(pcnet_apply, logits_fn, pcnet_state, clf_params,
+                          cam_scene, state, prj_init, target_idx, targeted,
+                          weights, d_thr, cfg)
+
+    state0 = (prj_init, prj_init, cam_scene_b, jnp.full((b,), 1e6))
+    state = jax.lax.fori_loop(0, cfg.iters, body, state0)
+    _, prj_best, cam_best, _ = state
+    return cam_best, jnp.clip(prj_best, 0.0, 1.0)
+
+
+def spaa_attack_stepped(pcnet_apply, logits_fn, pcnet_state, clf_params,
+                        cam_scene, prj_init, target_idx, targeted, weights,
+                        d_thr, cfg: SpaaConfig = SpaaConfig()):
+    """Same attack, but one jitted step dispatched ``cfg.iters`` times from
+    the host. On the XLA CPU backend loop bodies inside fori_loop/scan run
+    without the intra-op thread pool (~7x slower per step than the same
+    jitted step dispatched from Python); this variant keeps CPU runs and CI
+    usable. Identical math/trajectory to :func:`spaa_attack_batched`."""
+    # run the body iters times threading full state through a jitted step
+    b = prj_init.shape[0]
+    cam_scene_b = jnp.broadcast_to(cam_scene, (b,) + cam_scene.shape[1:])
+    state = (prj_init, prj_init, cam_scene_b, jnp.full((b,), 1e6))
+
+    for _ in range(cfg.iters):
+        state = _spaa_step_jit(pcnet_apply, logits_fn, pcnet_state,
+                               clf_params, cam_scene, state, prj_init,
+                               target_idx, targeted, weights, d_thr, cfg)
+    _, prj_best, cam_best, _ = state
+    return cam_best, jnp.clip(prj_best, 0.0, 1.0)
+
+
+def _spaa_body(pcnet_apply, logits_fn, pcnet_state, clf_params, cam_scene,
+               state, im_gray, target_idx, targeted, weights, d_thr,
+               cfg: SpaaConfig):
+    """One SPAA iteration on explicit state (used by the host-stepped
+    variant; the fori_loop variant inlines the same math)."""
+    b = im_gray.shape[0]
+    cam_scene_b = jnp.broadcast_to(cam_scene, (b,) + cam_scene.shape[1:])
     scene_lab = rgb2lab_diff(cam_scene_b)
-    im_gray = prj_init
     arange_b = jnp.arange(b)
     tgt_sign = jnp.where(targeted, -1.0, 1.0)
+    prj_adv, prj_best, cam_best, col_best = state
 
     def losses(prj_adv):
-        """Forward: returns (adv_loss, col_loss) plus aux for masks."""
-        cam_infer = pcnet_apply(jnp.clip(prj_adv, 0.0, 1.0))
-        raw = logits_fn(cam_infer)
-        # adversarial loss (ref :269-272), sign folded per sample
+        cam_infer = pcnet_apply(pcnet_state, jnp.clip(prj_adv, 0.0, 1.0))
+        raw = logits_fn(clf_params, cam_infer)
         score = raw[arange_b, target_idx]
         adv_loss = cfg.adv_w * jnp.mean(tgt_sign * score)
-        # stealthiness losses (ref :274-287)
         prjl2 = _per_sample_l2(im_gray - prj_adv)
         caml2 = _per_sample_l2(cam_scene_b - cam_infer)
         camde = jnp.mean(ciede2000_diff(rgb2lab_diff(cam_infer), scene_lab),
                          axis=(1, 2))
         col_batch = (weights[:, 0] * prjl2 + weights[:, 1] * caml2
                      + weights[:, 2] * camde)
-        col_loss = jnp.mean(col_batch)
-        return (adv_loss, col_loss), (cam_infer, raw, caml2, col_batch)
+        return (adv_loss, jnp.mean(col_batch)), (cam_infer, raw, caml2,
+                                                 col_batch)
 
-    def body(i, state):
-        del i
-        prj_adv, prj_best, cam_best, col_best = state
+    (_, _), vjp, aux = jax.vjp(losses, prj_adv, has_aux=True)
+    cam_infer, raw, caml2, col_batch = aux
+    adv_grad, = vjp((1.0, 0.0))
+    col_grad, = vjp((0.0, 1.0))
 
-        (adv_loss, col_loss), vjp, aux = jax.vjp(losses, prj_adv, has_aux=True)
-        cam_infer, raw, caml2, col_batch = aux
-        adv_grad, = vjp((1.0, 0.0))
-        col_grad, = vjp((0.0, 1.0))
+    p = jax.nn.softmax(raw, axis=1)
+    top_idx = jnp.argmax(raw, axis=1)
+    top_p = jnp.max(p, axis=1)
+    mask_high_conf = top_p > cfg.p_thresh
+    mask_high_pert = caml2 * 255.0 > d_thr
+    mask_succ = jnp.where(targeted, top_idx == target_idx,
+                          top_idx != target_idx)
+    mask_best_adv = mask_succ & mask_high_pert & (mask_high_conf | ~targeted)
 
-        p = jax.nn.softmax(raw, axis=1)
-        top_idx = jnp.argmax(raw, axis=1)
-        top_p = jnp.max(p, axis=1)
+    m = mask_best_adv[:, None, None, None]
+    step = jnp.where(m, cfg.col_lr * _normalized(col_grad),
+                     cfg.adv_lr * _normalized(adv_grad))
+    prj_adv = prj_adv - step
 
-        # masks (ref :289-299); untargeted ignores the confidence test
-        mask_high_conf = top_p > cfg.p_thresh
-        mask_high_pert = caml2 * 255.0 > d_thr
-        mask_succ = jnp.where(targeted, top_idx == target_idx,
-                              top_idx != target_idx)
-        mask_best_adv = mask_succ & mask_high_pert & (mask_high_conf | ~targeted)
-
-        # alternating masked updates with per-sample normalized grads
-        # (ref :302-315)
-        m = mask_best_adv[:, None, None, None]
-        step = jnp.where(m, cfg.col_lr * _normalized(col_grad),
-                         cfg.adv_lr * _normalized(adv_grad))
-        prj_adv = prj_adv - step
-
-        # best tracking (ref :317-328): successful attacks always refresh;
-        # the lowest-color-loss successful attack pins the "best"
-        mask_best = (col_batch < col_best) & mask_best_adv
-        col_best = jnp.where(mask_best, col_batch, col_best)
-        keep = (mask_succ | mask_best)[:, None, None, None]
-        prj_best = jnp.where(keep, prj_adv, prj_best)
-        cam_best = jnp.where(keep, cam_infer, cam_best)
-        return prj_adv, prj_best, cam_best, col_best
-
-    prj_adv0 = prj_init
-    prj_best0 = prj_init
-    cam_best0 = cam_scene_b
-    col_best0 = jnp.full((b,), 1e6)
-    state = jax.lax.fori_loop(0, cfg.iters, body,
-                              (prj_adv0, prj_best0, cam_best0, col_best0))
-    _, prj_best, cam_best, _ = state
-    return cam_best, jnp.clip(prj_best, 0.0, 1.0)
+    mask_best = (col_batch < col_best) & mask_best_adv
+    col_best = jnp.where(mask_best, col_batch, col_best)
+    keep = (mask_succ | mask_best)[:, None, None, None]
+    prj_best = jnp.where(keep, prj_adv, prj_best)
+    cam_best = jnp.where(keep, cam_infer, cam_best)
+    return prj_adv, prj_best, cam_best, col_best
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 8))
-def _spaa_jit(pcnet_apply, logits_fn, cam_scene, prj_init, target_idx,
-              targeted, weights, d_thr, cfg):
-    return spaa_attack_batched(pcnet_apply, logits_fn, cam_scene, prj_init,
-                               target_idx, targeted, weights, d_thr, cfg)
+_spaa_step_jit = functools.partial(jax.jit, static_argnums=(0, 1, 11))(
+    lambda *a: _spaa_body(*a))
 
 
-def spaa(pcnet_apply: Callable, logits_fn: Callable, imagenet_labels,
-         target_idx, targeted: bool, cam_scene, d_thr, stealth_loss: str,
-         setup_info, cfg: SpaaConfig = SpaaConfig(), verbose: bool = True):
+def spaa_attack_auto(pcnet_apply, logits_fn, pcnet_state, clf_params,
+                     cam_scene, prj_init, target_idx, targeted, weights,
+                     d_thr, cfg: SpaaConfig = SpaaConfig()):
+    """Backend-adaptive entry: on-device fori_loop program on accelerators,
+    host-stepped jitted body on the CPU backend."""
+    if jax.default_backend() == "cpu":
+        return spaa_attack_stepped(pcnet_apply, logits_fn, pcnet_state,
+                                   clf_params, cam_scene, prj_init,
+                                   target_idx, targeted, weights, d_thr, cfg)
+    return _spaa_jit(pcnet_apply, logits_fn, pcnet_state, clf_params,
+                     cam_scene, prj_init, target_idx, targeted, weights,
+                     d_thr, cfg)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 10))
+def _spaa_jit(pcnet_apply, logits_fn, pcnet_state, clf_params, cam_scene,
+              prj_init, target_idx, targeted, weights, d_thr, cfg):
+    return spaa_attack_batched(pcnet_apply, logits_fn, pcnet_state,
+                               clf_params, cam_scene, prj_init, target_idx,
+                               targeted, weights, d_thr, cfg)
+
+
+def spaa(pcnet_apply: Callable, logits_fn: Callable, pcnet_state, clf_params,
+         imagenet_labels, target_idx, targeted: bool, cam_scene, d_thr,
+         stealth_loss: str, setup_info, cfg: SpaaConfig = SpaaConfig(),
+         verbose: bool = True):
     """Reference-parity single-config entry point
     (ref ``spaa()``, ``projector_based_attack.py:212``).
 
-    pcnet_apply: closed-over frozen PCNet forward (prj → cam_infer).
-    logits_fn:   closed-over frozen classifier forward (cam → logits).
+    pcnet_apply(pcnet_state, prj): frozen PCNet forward (prj → cam_infer).
+    logits_fn(clf_params, cam):    frozen classifier forward (cam → logits).
     Returns (cam_infer_best, prj_adv_best) as jnp arrays.
     """
     import numpy as np
@@ -172,13 +225,14 @@ def spaa(pcnet_apply: Callable, logits_fn: Callable, imagenet_labels,
     prj_init = jnp.full((num_target, ph, pw, 3),
                         float(setup_info["prj_brightness"]))
     w = jnp.tile(jnp.asarray(stealth_weights(stealth_loss)), (num_target, 1))
-    cam_best, prj_best = _spaa_jit(
-        pcnet_apply, logits_fn, jnp.asarray(cam_scene), prj_init,
+    cam_best, prj_best = spaa_attack_auto(
+        pcnet_apply, logits_fn, pcnet_state, clf_params,
+        jnp.asarray(cam_scene), prj_init,
         jnp.asarray(np.asarray(target_idx), jnp.int32),
         jnp.full((num_target,), bool(targeted)),
         w, jnp.full((num_target,), float(d_thr)), cfg)
     if verbose:
-        raw = logits_fn(cam_best)
+        raw = logits_fn(clf_params, cam_best)
         p = jax.nn.softmax(raw, axis=1)
         v = 7 if (targeted and num_target > 7) else 0
         idx = int(jnp.argmax(raw[v]))

@@ -77,11 +77,15 @@ def make_logits_fn(model_name: str) -> Callable:
 
 def init_params(model_name: str, seed: int = 0):
     """Deterministic random-init params (offline fallback; NOT the pinned
-    pretrained weights — conversion path below provides those)."""
+    pretrained weights — conversion path below provides those). Initializes
+    on the host CPU backend (fast + backend-independent RNG trajectory),
+    then transfers once."""
+    from spaa_tpu.utils.jaxtools import host_init
     cls, input_sz = _MODELS[model_name]
     model = cls()
-    dummy = jnp.zeros((1, *input_sz, 3), jnp.float32)
-    return model.init(jax.random.PRNGKey(seed), dummy)["params"]
+    return host_init(lambda: model.init(
+        jax.random.PRNGKey(seed),
+        jnp.zeros((1, *input_sz, 3), jnp.float32))["params"])
 
 
 def _flatten(tree, prefix=""):
@@ -189,7 +193,23 @@ def query_multi_classifiers(im, cp_sz, classifier_names, imagenet_labels,
 
 
 def load_imagenet_labels(filename: str) -> dict:
-    """Ref ``classifier.py:109-116``: {idx: short_label}."""
+    """Ref ``classifier.py:109-116``: {idx: short_label}.
+
+    Accepts the benchmark dataset's ``.txt`` python-dict-literal form or a
+    ``.json`` mapping; when ``filename`` is absent, falls back to the
+    packaged JSON fixture of the same basename under ``<repo>/data/``."""
+    import ast
+    import json
+    if not os.path.exists(filename):
+        base = os.path.splitext(os.path.basename(filename))[0]
+        here = os.path.dirname(os.path.abspath(__file__))
+        packaged = join(here, "..", "..", "..", "data", base + ".json")
+        if os.path.exists(packaged):
+            filename = packaged
     with open(filename) as f:
-        imagenet_labels = eval(f.read())  # the file is a python dict literal
+        text = f.read()
+    if filename.endswith(".json"):
+        imagenet_labels = {int(k): v for k, v in json.loads(text).items()}
+    else:
+        imagenet_labels = ast.literal_eval(text)
     return {k: v.split(",")[0] for k, v in imagenet_labels.items()}

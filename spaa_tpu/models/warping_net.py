@@ -92,8 +92,9 @@ class WarpingNet(nn.Module):
         ref ``models.py:179-181``)."""
         if fine_grid is None:
             fine_grid = self.fine_grid()
-        grid = jnp.broadcast_to(fine_grid, (x.shape[0],) + fine_grid.shape[1:])
-        return grid_sample(x, grid)
+        # keep the grid [1, H, W, 2]: grid_sample's batch-shared fast path
+        # gathers once for the whole batch (one flat index vector)
+        return grid_sample(x, fine_grid)
 
     def simplify(self) -> jax.Array:
         """Return the baked sampling grid (ref ``models.py:149-161``)."""

@@ -120,9 +120,19 @@ def grid_sample(im: jax.Array, grid: jax.Array) -> jax.Array:
     out-of-range corner taps contribute zero, bilinear weights are kept, and
     gradients flow to ``im`` (scatter in transpose) and to ``grid`` (through
     the bilinear weights).
+
+    TPU formulation: the 2-D advanced-indexing gather lowers badly on TPU
+    (and its autodiff transpose worse). Instead each tap is a flat 1-D
+    ``take``: when the grid is batch-shared (grid.shape[0]==1, the
+    WarpingNet case — the sampling grid never varies across the batch) the
+    image is viewed as [H*W, N*C] and gathered along axis 0 with ONE shared
+    index vector; otherwise per-batch flat indices gather [N, H*W, C] along
+    axis 1. For a fully static grid the Pallas kernel in
+    ``ops.pallas.warp`` is faster still.
     """
     n, h, w, c = im.shape
-    x = (grid[..., 0] + 1.0) * 0.5 * (w - 1)            # [N,Ho,Wo]
+    ho, wo = grid.shape[1], grid.shape[2]
+    x = (grid[..., 0] + 1.0) * 0.5 * (w - 1)            # [G,Ho,Wo], G∈{1,N}
     y = (grid[..., 1] + 1.0) * 0.5 * (h - 1)
 
     x0 = jnp.floor(x)
@@ -135,14 +145,25 @@ def grid_sample(im: jax.Array, grid: jax.Array) -> jax.Array:
     wy1 = y - y0
     wy0 = 1.0 - wy1
 
+    shared = grid.shape[0] == 1
+    if shared:
+        im_t = im.reshape(n, h * w, c).transpose(1, 0, 2).reshape(h * w, n * c)
+
     def tap(ix, iy, wxx, wyy):
         valid = ((ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1))
         ixc = jnp.clip(ix, 0, w - 1).astype(jnp.int32)
         iyc = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
-        # gather per batch element: vmap advanced indexing over N
-        vals = jax.vmap(lambda img, yy, xx: img[yy, xx])(im, iyc, ixc)
-        wgt = (wxx * wyy * valid.astype(im.dtype))[..., None]
-        return vals * wgt
+        flat = (iyc * w + ixc).reshape(ix.shape[0], -1)   # [G, Ho*Wo]
+        wgt = (wxx * wyy * valid.astype(im.dtype))        # [G, Ho, Wo]
+        if shared:
+            vals = jnp.take(im_t, flat[0], axis=0)        # [Ho*Wo, N*C]
+            vals = vals.reshape(ho * wo, n, c).transpose(1, 0, 2)
+            vals = vals.reshape(n, ho, wo, c)
+        else:
+            vals = jnp.take_along_axis(
+                im.reshape(n, h * w, c), flat[:, :, None], axis=1)
+            vals = vals.reshape(n, ho, wo, c)
+        return vals * wgt[..., None]
 
     out = (tap(x0, y0, wx0, wy0) + tap(x1, y0, wx1, wy0)
            + tap(x0, y1, wx0, wy1) + tap(x1, y1, wx1, wy1))

@@ -43,18 +43,29 @@ class TrainedModel:
     cfg: Any
     name: str
 
+    def _jit_apply(self):
+        # one jitted wrapper per bundle, params as args (not closures)
+        if not hasattr(self, "_apply_fn"):
+            if isinstance(self.model, PCNet):
+                self._apply_fn = jax.jit(
+                    lambda p, x, s, m, c: self.model.apply(
+                        {"params": p}, x, s, m, cache=c))
+            else:
+                self._apply_fn = jax.jit(
+                    lambda p, x, s: self.model.apply({"params": p}, x, s))
+        return self._apply_fn
+
     def apply(self, x, s, cache=None):
         if isinstance(self.model, PCNet):
-            return self.model.apply({"params": self.params}, x, s,
-                                    self.mask, cache=cache)
-        return self.model.apply({"params": self.params}, x, s)
+            return self._jit_apply()(self.params, x, s, self.mask, cache)
+        return self._jit_apply()(self.params, x, s)
 
     def simplify(self):
         """Bake inference caches (ref ``simplify`` methods)."""
         if isinstance(self.model, PCNet):
-            return self.model.apply({"params": self.params},
-                                    jnp.asarray(self.cam_scene), self.mask,
-                                    method=PCNet.simplify_cache)
+            fn = jax.jit(lambda p, s, m: self.model.apply(
+                {"params": p}, s, m, method=PCNet.simplify_cache))
+            return fn(self.params, jnp.asarray(self.cam_scene), self.mask)
         return None
 
 
@@ -67,15 +78,20 @@ def _set_affine(params: dict, mask_corners) -> dict:
 
 
 def _build_pcnet(model_name: str, cam_hw, mask_corners, rng_key):
+    from spaa_tpu.utils.jaxtools import host_init
     use_mask = "no_mask" not in model_name
     use_rough = "no_rough" not in model_name
     with_refine = "w/o_refine" not in model_name
     model = PCNet(out_size=tuple(cam_hw), with_refine=with_refine,
                   use_mask=use_mask, use_rough=use_rough)
-    dummy_prj = jnp.zeros((1, 256, 256, 3))
-    dummy_cam = jnp.zeros((1, *cam_hw, 3))
-    dummy_mask = jnp.ones((*cam_hw, 1))
-    params = model.init(rng_key, dummy_prj, dummy_cam, dummy_mask)["params"]
+
+    def init():
+        dummy_prj = jnp.zeros((1, 256, 256, 3))
+        dummy_cam = jnp.zeros((1, *cam_hw, 3))
+        dummy_mask = jnp.ones((*cam_hw, 1))
+        return model.init(rng_key, dummy_prj, dummy_cam, dummy_mask)["params"]
+
+    params = host_init(init)
     params = _set_affine(params, mask_corners)
     return model, params
 
@@ -95,7 +111,13 @@ def train_eval_pcnet(cfg_default):
 
         for num_train in cfg_default.num_train_list:
             cfg = cfg_default.copy()
+            # clamp to the setup's actual training-pair count: the reference
+            # assumes the 500-pair benchmark capture; synthetic/partial
+            # setups may have fewer (oob batch indices would hit jnp.take's
+            # fill mode and poison training with NaNs)
+            num_train = min(int(num_train), int(data["prj_train"].shape[0]))
             cfg.num_train = num_train
+            cfg.batch_size = min(int(cfg.batch_size), num_train)
             for key in ["num_train_list", "model_list", "loss_list",
                         "setup_list"]:
                 if key in cfg:
@@ -112,7 +134,7 @@ def train_eval_pcnet(cfg_default):
                     key = reset_rng_seeds(123)
                     model, params = _build_pcnet(model_name, cam_hw,
                                                  data["mask_corners"], key)
-                    mask = jnp.asarray(data["mask"])
+                    mask = np.asarray(data["mask"])
 
                     print("-" * 20 + " Training Options " + "-" * 20)
                     print("\n".join(f"{k}: {v}" for k, v in cfg.items()))
@@ -131,11 +153,12 @@ def train_eval_pcnet(cfg_default):
                         params = L.load_checkpoint(ckpt, params)
                     else:
                         print(f"----- Start training {model_name} -----")
-                        scene = jnp.asarray(data["cam_scene"])
+                        scene = np.asarray(data["cam_scene"])
 
                         def loss_fn(p, prj, cam_gt, itr):
                             sc = jnp.broadcast_to(
-                                scene, (prj.shape[0],) + scene.shape[1:])
+                                jnp.asarray(scene),
+                                (prj.shape[0],) + scene.shape[1:])
                             infer = model.apply({"params": p}, prj, sc, mask)
                             # curriculum: l1 only for the first 400 iters
                             # (ref train_network.py:299-303)
@@ -193,10 +216,12 @@ def init_compennet(data_root: str, cfg) -> Any:
     physical projections, cached once (ref ``train_network.py:98-127``)."""
     from spaa_tpu.utils.io import imread_dir
 
+    from spaa_tpu.utils.jaxtools import host_init
+
     model = CompenNet()
     key = jax.random.PRNGKey(0)
-    dummy = jnp.zeros((1, 64, 64, 3))
-    params = model.init(key, dummy, dummy)["params"]
+    params = host_init(lambda: model.init(
+        key, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))["params"])
 
     ckpt = L.checkpoint_path(join(data_root, "../checkpoint"), _INIT_CKPT_NAME)
     if os.path.exists(ckpt):
@@ -209,16 +234,16 @@ def init_compennet(data_root: str, cfg) -> Any:
     cam_train = np.abs(prj_train - 0.3 * cam_scene)
 
     init_cfg = get_model_train_cfg(["CompenNet"], data_root, single=True)
-    init_cfg.max_iters = 500
+    init_cfg.max_iters = int(cfg.get("init_max_iters", 500))
     init_cfg.batch_size = min(48, prj_train.shape[0])
     init_cfg.num_train = prj_train.shape[0]
     init_cfg.valid_rate = 100
 
-    scene = jnp.asarray(cam_scene)
+    scene = np.asarray(cam_scene)
 
     def loss_fn(p, cam_desired, prj_gt, itr):
         del itr
-        sc = jnp.broadcast_to(scene,
+        sc = jnp.broadcast_to(jnp.asarray(scene),
                               (cam_desired.shape[0],) + scene.shape[1:])
         infer = model.apply({"params": p}, cam_desired, sc)
         return compute_loss(infer, prj_gt, "l1+ssim")
@@ -252,7 +277,9 @@ def train_eval_compennet_pp(cfg_default):
 
         for num_train in cfg_default.num_train_list:
             cfg = cfg_default.copy()
+            num_train = min(int(num_train), int(data["prj_train"].shape[0]))
             cfg.num_train = num_train
+            cfg.batch_size = min(int(cfg.batch_size), num_train)
             for k in ["num_train_list", "model_list", "loss_list",
                       "setup_list"]:
                 if k in cfg:
@@ -267,12 +294,14 @@ def train_eval_compennet_pp(cfg_default):
                                      f"{cfg.batch_size}_{cfg.max_iters}")
 
                     reset_rng_seeds(0)
+                    from spaa_tpu.utils.jaxtools import host_init
                     model = CompenNetPlusplus(
                         out_size=tuple(prj_hw),
                         with_refine="w/o_refine" not in model_name)
-                    dummy_cam = jnp.zeros((1, *data["cam_train"].shape[1:3], 3))
-                    params = model.init(jax.random.PRNGKey(0), dummy_cam,
-                                        dummy_cam)["params"]
+                    cam_hw3 = (1, *data["cam_train"].shape[1:3], 3)
+                    params = host_init(lambda: model.init(
+                        jax.random.PRNGKey(0), jnp.zeros(cam_hw3),
+                        jnp.zeros(cam_hw3))["params"])
                     params = _set_affine(params, data["mask_corners"])
                     params["compen_net"] = compen_params  # pretrained splice
 
@@ -290,12 +319,13 @@ def train_eval_compennet_pp(cfg_default):
                         params = L.load_checkpoint(ckpt, params)
                     else:
                         print(f"----- Start training {model_name} -----")
-                        scene = jnp.asarray(data["cam_scene"])
+                        scene = np.asarray(data["cam_scene"])
 
                         def loss_fn(p, cam, prj_gt, itr):
                             del itr
                             sc = jnp.broadcast_to(
-                                scene, (cam.shape[0],) + scene.shape[1:])
+                                jnp.asarray(scene),
+                                (cam.shape[0],) + scene.shape[1:])
                             infer = model.apply({"params": p}, cam, sc)
                             return compute_loss(infer, prj_gt, cfg.loss)
 

@@ -152,21 +152,32 @@ def sample_batch_indices(num_train: int, batch_size: int, max_iters: int,
 def train_model_scan(apply_loss_fn: Callable, params, tx, train_arrays: dict,
                      batch_idx: np.ndarray, cfg,
                      valid_fn: Optional[Callable] = None,
-                     log_prefix: str = ""):
+                     log_prefix: str = "", use_scan: Optional[bool] = None):
     """Generic scan-segmented training loop.
 
     apply_loss_fn(params, inputs, targets, itr) -> (loss, l2)
     train_arrays: dict with 'inputs' [N,...] and 'targets' [N,...]
                   (device-resident; gathered per step).
+
+    On TPU the whole ``valid_rate`` segment is one ``lax.scan`` dispatch
+    (zero host round-trips). On the CPU backend XLA executes while-loop
+    bodies without the intra-op thread pool (~7x slower per step than the
+    identical jitted step dispatched from Python), so there we loop a
+    single jitted step instead — same math, same trajectory.
     """
     opt_state = tx.init(params)
     inputs = jax.device_put(train_arrays["inputs"])
     targets = jax.device_put(train_arrays["targets"])
     idx_all = jax.device_put(jnp.asarray(batch_idx))
+    if use_scan is None:
+        use_scan = jax.default_backend() != "cpu"
 
     grad_fn = jax.value_and_grad(apply_loss_fn, has_aux=True)
 
-    def step(carry, idx_and_iter):
+    # train tensors are jit ARGUMENTS (not closures) — closure-captured
+    # device arrays would be embedded as program constants (slow trace,
+    # bloated executable, re-shipped per dispatch on networked backends)
+    def step(inputs, targets, carry, idx_and_iter):
         params, opt_state = carry
         idx, itr = idx_and_iter
         x = jnp.take(inputs, idx, axis=0)
@@ -177,10 +188,17 @@ def train_model_scan(apply_loss_fn: Callable, params, tx, train_arrays: dict,
         return (params, opt_state), (loss, l2)
 
     @jax.jit
-    def run_segment(params, opt_state, idx_seg, iter_seg):
+    def run_segment(params, opt_state, inputs, targets, idx_seg, iter_seg):
         (params, opt_state), (losses, l2s) = jax.lax.scan(
-            step, (params, opt_state), (idx_seg, iter_seg))
+            partial(step, inputs, targets), (params, opt_state),
+            (idx_seg, iter_seg))
         return params, opt_state, losses, l2s
+
+    @jax.jit
+    def run_step(params, opt_state, inputs, targets, idx, itr):
+        (params, opt_state), (loss, l2) = step(inputs, targets,
+                                               (params, opt_state), (idx, itr))
+        return params, opt_state, loss, l2
 
     max_iters = int(cfg.max_iters)
     seg = int(cfg.valid_rate)
@@ -189,12 +207,20 @@ def train_model_scan(apply_loss_fn: Callable, params, tx, train_arrays: dict,
     valid_psnr = valid_rmse = valid_ssim = 0.0
     while it < max_iters:
         n = min(seg, max_iters - it)
-        iter_seg = jnp.arange(it, it + n, dtype=jnp.int32)
-        params, opt_state, losses, l2s = run_segment(
-            params, opt_state, idx_all[it:it + n], iter_seg)
+        if use_scan:
+            iter_seg = jnp.arange(it, it + n, dtype=jnp.int32)
+            params, opt_state, losses, l2s = run_segment(
+                params, opt_state, inputs, targets, idx_all[it:it + n],
+                iter_seg)
+            loss_last, l2_last = losses[-1], l2s[-1]
+        else:
+            for j in range(it, it + n):
+                params, opt_state, loss_last, l2_last = run_step(
+                    params, opt_state, inputs, targets, idx_all[j],
+                    jnp.asarray(j, jnp.int32))
         it += n
-        loss_v = float(losses[-1])
-        rmse_v = math.sqrt(float(l2s[-1]) * 3)
+        loss_v = float(loss_last)
+        rmse_v = math.sqrt(float(l2_last) * 3)
         if valid_fn is not None:
             valid_psnr, valid_rmse, valid_ssim, _ = valid_fn(params)
         lapse = time.strftime("%H:%M:%S", time.gmtime(time.time() - start))

@@ -72,6 +72,7 @@ def test_train_eval_compennet_pp_runs(tiny_setup):
     cfg.batch_size = 8
     cfg.valid_rate = 15
     cfg.num_train_list = [16]
+    cfg.init_max_iters = 20  # shrink the one-time CompenNet init pretrain
     trained, ret, _ = train_eval_compennet_pp(cfg)
     assert np.isfinite(ret.iloc[0]["PSNR"])
     assert trained.model.model_name == "CompenNet++"
