@@ -39,9 +39,10 @@ def _build(log):
     import numpy as np
 
     from spaa_tpu.attack.spaa import SpaaConfig, spaa_attack_batched
+    from spaa_tpu.attack.orchestrate import make_pcnet_fn
     from spaa_tpu.models import PCNet
-    from spaa_tpu.models.pcnet import PCNetCache
     from spaa_tpu.models.classifiers import load_params, make_logits_fn
+    from spaa_tpu.train.pipeline import TrainedModel
     from spaa_tpu.utils.jaxtools import host_init
 
     rng = np.random.default_rng(0)
@@ -53,29 +54,41 @@ def _build(log):
     params = host_init(lambda: pcnet.init(
         jax.random.PRNGKey(0), jnp.zeros((1, *PRJ_HW, 3)),
         jnp.asarray(cam_scene), jnp.asarray(mask))["params"])
+    # emulate a converged WarpingNet (trained warps are smooth): benchmark
+    # affine scale ~0.85 and a quiet refinement net — FLOPs are identical,
+    # and the Pallas warp tables get realistic spill counts
+    params["warping_net"]["affine_mat"] = jnp.asarray(
+        [[[0.85, 0.02, 0.01], [-0.02, 0.85, -0.01]]], jnp.float32)
+    params["warping_net"]["grid_refine_net"] = jax.tree.map(
+        lambda x: x * 0.01, params["warping_net"]["grid_refine_net"])
     log(f"[bench] pcnet host-init {time.time() - t0:.1f}s")
-    cache_fn = jax.jit(lambda p, s, m: pcnet.apply(
-        {"params": p}, s, m, method=PCNet.simplify_cache))
-    cache = cache_fn(params, cam_scene, mask)
 
-    pcnet_state = dict(params=params, cache=cache,
-                       mask=jnp.asarray(mask), scene=jnp.asarray(cam_scene))
+    setup_info = {"prj_im_sz": [PRJ_HW[1], PRJ_HW[0]],
+                  "cam_im_sz": [CAM_HW[1], CAM_HW[0]],
+                  "classifier_crop_sz": list(CP_SZ)}
+    trained = TrainedModel(pcnet, params, jnp.asarray(mask), cam_scene,
+                           setup_info, None, "PCNet")
+    # flagship TPU path: Pallas fixed-grid warp + bf16 shading compute
+    t0 = time.time()
+    pcnet_apply, pcnet_state = make_pcnet_fn(trained)
+    log(f"[bench] pcnet_fn (simplify + warp tables) {time.time() - t0:.1f}s")
 
-    def pcnet_apply(st, prj):
-        scene = jnp.broadcast_to(st["scene"],
-                                 (prj.shape[0],) + st["scene"].shape[1:])
-        return pcnet.apply({"params": st["params"]}, prj, scene, st["mask"],
-                           cache=st["cache"])
+    cdtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
     runs = []
     for name in CLASSIFIERS:
         t0 = time.time()
         cparams = load_params(name, None, verbose=False)
+        if cdtype != jnp.float32:
+            cparams = jax.tree.map(
+                lambda x: x.astype(cdtype) if x.dtype == jnp.float32 else x,
+                cparams)
         log(f"[bench] {name}: params ready {time.time() - t0:.1f}s")
         lf = make_logits_fn(name)
 
         def logits_fn(params, im, _lf=lf):
-            return _lf(params, im, CP_SZ)
+            return _lf(params, im.astype(cdtype),
+                       CP_SZ).astype(jnp.float32)
 
         target_idx = jnp.arange(BATCH, dtype=jnp.int32) * 37 % 1000
         targeted = jnp.asarray([True] * 10 + [False])

@@ -207,22 +207,75 @@ def run_projector_based_attack(cfg, procams=None,
     return cfg
 
 
-def make_pcnet_fn(trained):
+def make_pcnet_fn(trained, use_pallas_warp: Optional[bool] = None,
+                  compute_dtype: Optional[str] = None):
     """Frozen PCNet forward with the baked simplify cache.
 
     Returns ``(pcnet_apply, pcnet_state)`` with
     ``pcnet_apply(pcnet_state, prj) -> cam_infer`` — the state pytree is a
     jit *argument* everywhere (closure-captured device arrays would be
-    baked into the compiled program as constants)."""
+    baked into the compiled program as constants).
+
+    TPU fast paths (both default-on on the TPU backend):
+      - the constant-grid warp runs through the Pallas two-stage-gather
+        kernel (``ops.pallas.warp``) instead of XLA gather/scatter;
+      - the shading CNN computes in bfloat16 (f32 in/out) — the MXU's
+        native dtype; attack gradients stay f32 outside.
+    """
+    on_tpu = jax.default_backend() == "tpu"
+    if use_pallas_warp is None:
+        use_pallas_warp = on_tpu
+    if compute_dtype is None:
+        compute_dtype = "bfloat16" if on_tpu else "float32"
+    cdtype = jnp.dtype(compute_dtype)
+
     model = trained.model
-    state = dict(params=trained.params, cache=trained.simplify(),
-                 mask=trained.mask, scene=jnp.asarray(trained.cam_scene))
+    cache = trained.simplify()
+    state = dict(params=trained.params, cache=cache, mask=trained.mask,
+                 scene=jnp.asarray(trained.cam_scene))
+
+    spec = None
+    if use_pallas_warp and cache is not None:
+        from spaa_tpu.ops.pallas.warp import build_fixed_warp
+        prj_hw = (int(trained.setup_info["prj_im_sz"][1]),
+                  int(trained.setup_info["prj_im_sz"][0]))
+        spec, warp_tables = build_fixed_warp(np.asarray(cache.fine_grid),
+                                             prj_hw)
+        print(f"[make_pcnet_fn] pallas warp tables: K_f={spec.fwd_k} "
+              f"G_f={spec.fwd_g} K_b={spec.bwd_k} G_b={spec.bwd_g}")
+        # pathological (non-smooth) grids explode the spill count; the XLA
+        # take-based path is then the better program
+        if spec.fwd_k > 32 or spec.bwd_k > 48:
+            print(f"[make_pcnet_fn] warp spill counts too high "
+                  f"(K_f={spec.fwd_k}, K_b={spec.bwd_k}); "
+                  "falling back to XLA grid_sample")
+            spec = None
+        else:
+            state["warp"] = warp_tables
+
+    lowp = cdtype != jnp.float32
+    if lowp:
+        state["params_c"] = jax.tree.map(
+            lambda x: x.astype(cdtype) if x.dtype == jnp.float32 else x,
+            trained.params)
 
     def pcnet_apply(st, prj):
         s = jnp.broadcast_to(st["scene"],
                              (prj.shape[0],) + st["scene"].shape[1:])
-        return model.apply({"params": st["params"]}, prj, s, st["mask"],
-                           cache=st["cache"])
+        warped = None
+        if spec is not None:
+            from spaa_tpu.ops.pallas.warp import fixed_warp_apply
+            warped = fixed_warp_apply(spec, st["warp"], prj)
+        if not lowp:
+            return model.apply({"params": st["params"]}, prj, s, st["mask"],
+                               cache=st["cache"], warped=warped)
+        out = model.apply(
+            {"params": st["params_c"]}, prj.astype(cdtype), s.astype(cdtype),
+            None if st["mask"] is None else jnp.asarray(st["mask"], cdtype),
+            cache=None if warped is not None else jax.tree.map(
+                lambda x: x, st["cache"]),
+            warped=None if warped is None else warped.astype(cdtype))
+        return out.astype(jnp.float32)
 
     return pcnet_apply, state
 
@@ -233,11 +286,22 @@ def _run_spaa_sweep(cfg, trained, classifier, cam_scene, target_idx,
     """All (stealth_loss × d_thr) configs × (1 untargeted + 10 targeted) as
     ONE batched attack, then unpack into the reference directory layout."""
     cp_sz = tuple(int(c) for c in setup_info["classifier_crop_sz"])
-    pcnet_apply, pcnet_state = make_pcnet_fn(trained)
+    compute_dtype = cfg.get(
+        "attack_dtype",
+        "bfloat16" if jax.default_backend() == "tpu" else "float32")
+    pcnet_apply, pcnet_state = make_pcnet_fn(trained,
+                                             compute_dtype=compute_dtype)
     logits_fn_inner = make_logits_fn(classifier.name)
+    cdtype = jnp.dtype(compute_dtype)
+    clf_params = classifier.params
+    if cdtype != jnp.float32:
+        clf_params = jax.tree.map(
+            lambda x: x.astype(cdtype) if x.dtype == jnp.float32 else x,
+            clf_params)
 
     def logits_fn(params, im):
-        return logits_fn_inner(params, im, cp_sz)
+        return logits_fn_inner(params, im.astype(cdtype),
+                               cp_sz).astype(jnp.float32)
 
     configs = [(sl, d) for sl in cfg.stealth_losses for d in cfg.d_threshes]
     n = len(target_idx)
@@ -261,7 +325,7 @@ def _run_spaa_sweep(cfg, trained, classifier, cam_scene, target_idx,
 
     spaa_cfg = SpaaConfig(iters=int(cfg.get("attack_iters", 50)))
     cam_best, prj_best = spaa_attack_auto(
-        pcnet_apply, logits_fn, pcnet_state, classifier.params,
+        pcnet_apply, logits_fn, pcnet_state, clf_params,
         jnp.asarray(cam_scene), prj_init, jnp.asarray(tgt),
         jnp.asarray(targeted), jnp.asarray(w), jnp.asarray(dt),
         spaa_cfg)

@@ -132,8 +132,18 @@ def spaa_attack_stepped(pcnet_apply, logits_fn, pcnet_state, clf_params,
 def _spaa_body(pcnet_apply, logits_fn, pcnet_state, clf_params, cam_scene,
                state, im_gray, target_idx, targeted, weights, d_thr,
                cfg: SpaaConfig):
-    """One SPAA iteration on explicit state (used by the host-stepped
-    variant; the fori_loop variant inlines the same math)."""
+    """One SPAA iteration on explicit state.
+
+    Key re-design vs the reference's two full backward passes per
+    iteration (``projector_based_attack.py:302-315``): the masked update
+    applies *either* the adversarial gradient or the color gradient per
+    sample, and both are ``J_pcnetᵀ · (a camera-space cotangent)``. So the
+    camera-space cotangents (classifier-bwd and color-bwd — both cheap)
+    are computed first, selected per sample by the mask, and pulled back
+    through PCNet ONCE. Per-sample gradient normalization makes this
+    exactly equivalent to the reference trajectory (the prjl2 term, whose
+    gradient bypasses PCNet, is added before normalization on the color
+    branch only)."""
     b = im_gray.shape[0]
     cam_scene_b = jnp.broadcast_to(cam_scene, (b,) + cam_scene.shape[1:])
     scene_lab = rgb2lab_diff(cam_scene_b)
@@ -141,25 +151,38 @@ def _spaa_body(pcnet_apply, logits_fn, pcnet_state, clf_params, cam_scene,
     tgt_sign = jnp.where(targeted, -1.0, 1.0)
     prj_adv, prj_best, cam_best, col_best = state
 
-    def losses(prj_adv):
-        cam_infer = pcnet_apply(pcnet_state, jnp.clip(prj_adv, 0.0, 1.0))
-        raw = logits_fn(clf_params, cam_infer)
-        score = raw[arange_b, target_idx]
-        adv_loss = cfg.adv_w * jnp.mean(tgt_sign * score)
-        prjl2 = _per_sample_l2(im_gray - prj_adv)
-        caml2 = _per_sample_l2(cam_scene_b - cam_infer)
-        camde = jnp.mean(ciede2000_diff(rgb2lab_diff(cam_infer), scene_lab),
+    # forward through the frozen simulator (clamp included: grads must
+    # vanish outside [0,1], ref :265)
+    cam_infer, vjp_pc = jax.vjp(
+        lambda p: pcnet_apply(pcnet_state, jnp.clip(p, 0.0, 1.0)), prj_adv)
+
+    raw, vjp_clf = jax.vjp(lambda c: logits_fn(clf_params, c), cam_infer)
+
+    # adversarial cotangent on raw scores: d mean(sign·raw[b, t_b]) / d raw
+    adv_raw_cot = jnp.zeros_like(raw).at[arange_b, target_idx].set(
+        cfg.adv_w * tgt_sign / b)
+    g_adv_cam, = vjp_clf(adv_raw_cot)
+
+    # color losses that flow through the camera image
+    def col_cam_fn(c):
+        caml2 = _per_sample_l2(cam_scene_b - c)
+        camde = jnp.mean(ciede2000_diff(rgb2lab_diff(c), scene_lab),
                          axis=(1, 2))
-        col_batch = (weights[:, 0] * prjl2 + weights[:, 1] * caml2
-                     + weights[:, 2] * camde)
-        return (adv_loss, jnp.mean(col_batch)), (cam_infer, raw, caml2,
-                                                 col_batch)
+        col_cam_batch = weights[:, 1] * caml2 + weights[:, 2] * camde
+        return jnp.mean(col_cam_batch), (caml2, col_cam_batch)
 
-    (_, _), vjp, aux = jax.vjp(losses, prj_adv, has_aux=True)
-    cam_infer, raw, caml2, col_batch = aux
-    adv_grad, = vjp((1.0, 0.0))
-    col_grad, = vjp((0.0, 1.0))
+    _, vjp_col, (caml2, col_cam_batch) = jax.vjp(col_cam_fn, cam_infer,
+                                                 has_aux=True)
+    g_col_cam, = vjp_col(1.0)
 
+    # prjl2 flows directly from prj_adv (not through PCNet)
+    g_prjl2 = jax.grad(
+        lambda p: jnp.mean(weights[:, 0] * _per_sample_l2(im_gray - p)))(
+        prj_adv)
+    prjl2 = _per_sample_l2(im_gray - prj_adv)
+    col_batch = weights[:, 0] * prjl2 + col_cam_batch
+
+    # masks (ref :289-299); untargeted ignores the confidence test
     p = jax.nn.softmax(raw, axis=1)
     top_idx = jnp.argmax(raw, axis=1)
     top_p = jnp.max(p, axis=1)
@@ -168,10 +191,14 @@ def _spaa_body(pcnet_apply, logits_fn, pcnet_state, clf_params, cam_scene,
     mask_succ = jnp.where(targeted, top_idx == target_idx,
                           top_idx != target_idx)
     mask_best_adv = mask_succ & mask_high_pert & (mask_high_conf | ~targeted)
-
     m = mask_best_adv[:, None, None, None]
-    step = jnp.where(m, cfg.col_lr * _normalized(col_grad),
-                     cfg.adv_lr * _normalized(adv_grad))
+
+    # ONE PCNet pullback on the per-sample-selected camera cotangent
+    cot_cam = jnp.where(m, g_col_cam, g_adv_cam)
+    g_prj, = vjp_pc(cot_cam)
+    total = g_prj + jnp.where(m, g_prjl2, jnp.zeros_like(g_prjl2))
+
+    step = jnp.where(m, cfg.col_lr, cfg.adv_lr) * _normalized(total)
     prj_adv = prj_adv - step
 
     mask_best = (col_batch < col_best) & mask_best_adv

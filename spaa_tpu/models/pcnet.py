@@ -57,14 +57,20 @@ class PCNet(nn.Module):
 
     def __call__(self, x: jax.Array, s: jax.Array,
                  mask: Optional[jax.Array] = None,
-                 cache: Optional[PCNetCache] = None) -> jax.Array:
+                 cache: Optional[PCNetCache] = None,
+                 warped: Optional[jax.Array] = None) -> jax.Array:
         """x: projector input [N, Hp, Wp, 3]; s: camera scene [N, H, W, 3];
         mask: [H, W, 1] or [1, H, W, 1] direct-light mask.
-        Ref forward ``models.py:335-345``."""
+        Ref forward ``models.py:335-345``.
+
+        ``warped``: optionally the already-warped projector image (e.g.
+        from the Pallas fixed-grid warp kernel, ``ops.pallas.warp``) —
+        skips WarpingNet entirely."""
         fine_grid = cache.fine_grid if cache is not None else None
         sf = cache.surface_feats if cache is not None else None
 
-        xw = self.warping_net(x, fine_grid=fine_grid)
+        xw = warped if warped is not None else \
+            self.warping_net(x, fine_grid=fine_grid)
         if self.use_mask and mask is not None:
             xw = xw * mask
         if self.use_rough:

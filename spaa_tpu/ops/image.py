@@ -167,4 +167,5 @@ def grid_sample(im: jax.Array, grid: jax.Array) -> jax.Array:
 
     out = (tap(x0, y0, wx0, wy0) + tap(x1, y0, wx1, wy0)
            + tap(x0, y1, wx0, wy1) + tap(x1, y1, wx1, wy1))
-    return out
+    # keep the image dtype: f32 grid weights must not promote a bf16 image
+    return out.astype(im.dtype)

@@ -1,0 +1,326 @@
+"""Pallas TPU kernel: bilinear image warping with a FIXED sampling grid.
+
+The attack hot loop (SURVEY.md §3.2) runs PCNet's WarpingNet with a baked
+``simplify`` grid — a *constant* bilinear resampling. On TPU the generic
+XLA gather lowering of ``grid_sample`` dominates the SPAA iteration
+(serialized row fetches; the autodiff transpose is a scatter). This module
+reformulates the constant warp to fit what the hardware does natively:
+
+  step 1 — row fetch on the MXU: ``got = L @ buf`` where ``L`` is a
+      host-precomputed ONE-HOT matrix selecting one source row per request
+      row. One-hot matmuls are *exact* in every MXU pass decomposition
+      (each output element is 1.0 × one f32 input), so full f32 precision
+      is kept with ``precision=HIGHEST``.
+  step 2 — lane move on the VPU: ``tpu.dynamic_gather`` along lanes
+      (the only gather Mosaic supports, and only within a single 128-lane
+      vreg), decomposed over 128-lane source/destination halves with
+      masked selects.
+  step 3 — weighted accumulation over K "spill" rows per output row.
+
+All tables are host-precomputed "request packing": each
+(destination pixel ← w · source pixel) request is assigned a request row
+such that the row reads from a SINGLE source row (step-1 one-hot) and no
+two requests in a row share a destination lane (step-2 slot). Bilinear's
+two x-taps share a destination lane, so K ≥ 2·(distinct source rows per
+output row); smooth ProCams warps give K ≈ 4-10.
+
+The BACKWARD pass is the same kernel with transposed request tables
+(gather from the output cotangent back into the source layout) — **no
+scatter ever touches the TPU**.
+
+Falls back to interpret mode off-TPU so CPU tests exercise the same code.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_LANE = 128  # TPU lane width; all layouts use W multiple of this
+
+
+def _pad_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class _PackedTables(NamedTuple):
+    """Request tables for one gather direction (jit-traceable pytree)."""
+    onehot: jax.Array  # [G, ROWS, SRC_ROWS] f32 — step-1 row selector
+    lane: jax.Array    # [G, ROWS, W] int32     — step-2 source lane per
+                       #                           destination lane
+    wt: jax.Array      # [G, ROWS, W] f32       — weights (0 = empty slot)
+
+
+def _pack_requests(dst_row, dst_lane, src_row, src_lane, w,
+                   n_dst_rows: int, n_src_rows: int, width: int):
+    """Assign requests to (op, request-row) slots.
+
+    Constraints per request row: a single ``src_row`` (step-1 one-hot) and
+    unique ``dst_lane`` (step-2 emit slot). Requests of destination row
+    ``o`` live in rows ``k*rows_per_op + (o % rows_per_op)`` of op
+    ``o // rows_per_op`` for spill k < K. rows_per_op is a multiple of 8
+    (TPU sublane tiling of the output block).
+
+    Returns (tables_np, K, rows_per_op, G, op_rows).
+    """
+    order = np.lexsort((dst_lane, src_row, dst_row))
+    dst_row, dst_lane = dst_row[order], dst_lane[order]
+    src_row, src_lane, w = src_row[order], src_lane[order], w[order]
+
+    spill = np.zeros(len(dst_row), np.int32)
+    starts = np.searchsorted(dst_row, np.arange(n_dst_rows))
+    ends = np.searchsorted(dst_row, np.arange(n_dst_rows), side="right")
+    k_max = 0
+    for o in range(n_dst_rows):
+        s, e = starts[o], ends[o]
+        if s == e:
+            continue
+        row_src: list = []    # src_row pinned to each spill row (-1 = free)
+        used_dst: list = []
+        for i in range(s, e):
+            r, dl = src_row[i], dst_lane[i]
+            for k in range(len(row_src) + 1):
+                if k == len(row_src):
+                    row_src.append(-1)
+                    used_dst.append(set())
+                if (row_src[k] in (-1, r)) and dl not in used_dst[k]:
+                    row_src[k] = r
+                    used_dst[k].add(dl)
+                    spill[i] = k
+                    break
+        k_max = max(k_max, len(row_src))
+
+    K = max(1, k_max)
+    op_rows = max(8 * K, 64)           # request rows per op (sublane-tiled)
+    rows_per_op = op_rows // K         # destination rows per op
+    G = -(-n_dst_rows // rows_per_op)
+
+    onehot = np.zeros((G, op_rows, n_src_rows), np.float32)
+    lane = np.zeros((G, op_rows, width), np.int32)
+    wt = np.zeros((G, op_rows, width), np.float32)
+
+    op = dst_row // rows_per_op
+    o_local = dst_row % rows_per_op
+    req_row = spill * rows_per_op + o_local
+    onehot[op, req_row, src_row] = 1.0
+    lane[op, req_row, dst_lane] = src_lane
+    wt[op, req_row, dst_lane] = w
+    return (onehot, lane, wt), K, rows_per_op, G, op_rows
+
+
+def _bilinear_requests(grid_np: np.ndarray, src_hw: Tuple[int, int]):
+    """Expand a [Ho, Wo, 2] normalized grid into bilinear requests
+    (out_flat, src_flat, w) with torch grid_sample semantics
+    (align_corners=True, zeros padding)."""
+    h, w = src_hw
+    x = (grid_np[..., 0].astype(np.float64) + 1.0) * 0.5 * (w - 1)
+    y = (grid_np[..., 1].astype(np.float64) + 1.0) * 0.5 * (h - 1)
+    x0 = np.floor(x)
+    y0 = np.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+    out_flat = np.arange(x.size)
+    reqs = []
+    for dy, wy in ((0.0, 1.0 - wy1), (1.0, wy1)):
+        for dx, wx in ((0.0, 1.0 - wx1), (1.0, wx1)):
+            yt = y0 + dy
+            xt = x0 + dx
+            valid = (yt >= 0) & (yt <= h - 1) & (xt >= 0) & (xt <= w - 1)
+            wgt = (wy * wx * valid).ravel()
+            keep = wgt != 0.0
+            ytc = np.clip(yt, 0, h - 1).astype(np.int64).ravel()[keep]
+            xtc = np.clip(xt, 0, w - 1).astype(np.int64).ravel()[keep]
+            reqs.append((out_flat[keep], ytc * w + xtc,
+                         wgt[keep].astype(np.float32)))
+    out = np.concatenate([r[0] for r in reqs])
+    src = np.concatenate([r[1] for r in reqs])
+    wgt = np.concatenate([r[2] for r in reqs])
+    return out, src, wgt
+
+
+class FixedWarpSpec(NamedTuple):
+    """Static layout parameters (hashable; pairs with the table pytree)."""
+    src_hw: Tuple[int, int]   # (H, W) source image
+    out_hw: Tuple[int, int]   # (Ho, Wo) output image
+    width: int                # lane width of all layouts
+    fwd_rows: int             # rows of the forward output layout
+    fwd_k: int
+    fwd_rpo: int
+    fwd_g: int
+    fwd_op_rows: int
+    fwd_src_rows: int         # source-buffer rows (step-1 contraction dim)
+    bwd_k: int
+    bwd_rpo: int
+    bwd_g: int
+    bwd_op_rows: int
+    bwd_src_rows: int         # dout-buffer rows
+
+
+def build_fixed_warp(grid, src_hw: Tuple[int, int]):
+    """Precompute packing tables for a constant sampling grid.
+
+    grid: [1, Ho, Wo, 2] (jnp or np) normalized coords.
+    src_hw: (H, W) of the source image to be warped.
+    Returns (spec: FixedWarpSpec, tables: dict of jnp table pytrees).
+    """
+    grid_np = np.asarray(grid)[0]
+    ho, wo = grid_np.shape[0], grid_np.shape[1]
+    h, w = int(src_hw[0]), int(src_hw[1])
+    width = _pad_up(max(w, _LANE), _LANE)
+
+    out_flat, src_flat, wgt = _bilinear_requests(grid_np, (h, w))
+
+    # ---- forward: out[q] += w * src[R, C]
+    src_rows = _pad_up(h, 8)
+    dst_row_f = (out_flat // width).astype(np.int64)
+    dst_lane_f = out_flat % width
+    src_row_f = (src_flat // w).astype(np.int64)
+    src_lane_f = src_flat % w
+    fwd_rows = -(-(ho * wo) // width)
+    tf, k_f, rpo_f, g_f, opr_f = _pack_requests(
+        dst_row_f, dst_lane_f, src_row_f, src_lane_f, wgt,
+        fwd_rows, src_rows, width)
+
+    # ---- backward: dsrc[R, C] += w * dout[q]
+    dout_rows = _pad_up(fwd_rows, 8)
+    tb, k_b, rpo_b, g_b, opr_b = _pack_requests(
+        src_row_f, src_lane_f, dst_row_f, dst_lane_f, wgt,
+        h, dout_rows, width)
+
+    spec = FixedWarpSpec(
+        src_hw=(h, w), out_hw=(ho, wo), width=width, fwd_rows=fwd_rows,
+        fwd_k=k_f, fwd_rpo=rpo_f, fwd_g=g_f, fwd_op_rows=opr_f,
+        fwd_src_rows=src_rows,
+        bwd_k=k_b, bwd_rpo=rpo_b, bwd_g=g_b, bwd_op_rows=opr_b,
+        bwd_src_rows=dout_rows)
+    tables = dict(
+        fwd=_PackedTables(*(jnp.asarray(t) for t in tf)),
+        bwd=_PackedTables(*(jnp.asarray(t) for t in tb)))
+    return spec, tables
+
+
+def _warp_kernel(rpo: int, k: int, width: int,
+                 oh_ref, lane_ref, wt_ref, buf_ref, out_ref):
+    # step 1: one-hot row fetch on the MXU (exact: 1.0 x f32)
+    got = jax.lax.dot(
+        oh_ref[0], buf_ref[0],
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)          # [op_rows, width]
+    lane_idx = lane_ref[0]
+    # step 2: lane move, decomposed over 128-lane halves (Mosaic's
+    # dynamic_gather works within a single lane vreg)
+    n_half = width // _LANE
+    halves = []
+    for d in range(n_half):
+        idx_d = lane_idx[:, d * _LANE:(d + 1) * _LANE]
+        acc_d = jnp.zeros((got.shape[0], _LANE), got.dtype)
+        for hh in range(n_half):
+            sub = got[:, hh * _LANE:(hh + 1) * _LANE]
+            local = jnp.clip(idx_d - hh * _LANE, 0, _LANE - 1)
+            taken = jnp.take_along_axis(sub, local, axis=1)
+            in_half = (idx_d >= hh * _LANE) & (idx_d < (hh + 1) * _LANE)
+            acc_d = jnp.where(in_half, taken, acc_d)
+        halves.append(acc_d)
+    val = halves[0] if n_half == 1 else jnp.concatenate(halves, axis=1)
+    contrib = val * wt_ref[0]
+    # step 3: accumulate the K spill rows per destination row
+    acc = contrib[0:rpo]
+    for kk in range(1, k):
+        acc = acc + contrib[kk * rpo:(kk + 1) * rpo]
+    out_ref[0] = acc
+
+
+def _run_packed_gather(buf: jax.Array, tables: _PackedTables, src_rows: int,
+                       op_rows: int, rpo: int, k: int, g: int, width: int,
+                       interpret: bool) -> jax.Array:
+    """buf: [NC, src_rows, width] -> out [NC, g*rpo, width]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nc = buf.shape[0]
+    kern = functools.partial(_warp_kernel, rpo, k, width)
+    return pl.pallas_call(
+        kern,
+        grid=(g, nc),  # nc inner: table blocks stay resident per g
+        in_specs=[
+            pl.BlockSpec((1, op_rows, src_rows), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, op_rows, width), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, op_rows, width), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, src_rows, width), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rpo, width), lambda i, j: (j, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nc, g * rpo, width), buf.dtype),
+        interpret=interpret,
+    )(tables.onehot, tables.lane, tables.wt, buf)
+
+
+def _to_buf_layout(im: jax.Array, spec: FixedWarpSpec) -> jax.Array:
+    """[N, H, W, C] -> [N*C, src_rows, width] (pad rows/lanes)."""
+    n, h, w, c = im.shape
+    x = im.transpose(0, 3, 1, 2).reshape(n * c, h, w)
+    return jnp.pad(x, ((0, 0), (0, spec.fwd_src_rows - h),
+                       (0, spec.width - w)))
+
+
+def _from_out_layout(out: jax.Array, spec: FixedWarpSpec, n: int,
+                     c: int) -> jax.Array:
+    """[N*C, >=fwd_rows, width] -> [N, Ho, Wo, C]."""
+    ho, wo = spec.out_hw
+    p = ho * wo
+    flat = out.reshape(n * c, -1)[:, :p]
+    return flat.reshape(n, c, ho, wo).transpose(0, 2, 3, 1)
+
+
+def _interpret_mode() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _warp_core(spec: FixedWarpSpec, buf, tables_fwd: _PackedTables,
+               tables_bwd: _PackedTables):
+    return _run_packed_gather(buf, tables_fwd, spec.fwd_src_rows,
+                              spec.fwd_op_rows, spec.fwd_rpo, spec.fwd_k,
+                              spec.fwd_g, spec.width, _interpret_mode())
+
+
+def _warp_core_fwd(spec, buf, tables_fwd, tables_bwd):
+    return _warp_core(spec, buf, tables_fwd, tables_bwd), (tables_fwd,
+                                                           tables_bwd)
+
+
+def _warp_core_bwd(spec, res, dout):
+    tables_fwd, tables_bwd = res
+    pad_rows = spec.bwd_src_rows - dout.shape[1]
+    dbuf = jnp.pad(dout, ((0, 0), (0, pad_rows), (0, 0)))
+    dsrc = _run_packed_gather(dbuf, tables_bwd, spec.bwd_src_rows,
+                              spec.bwd_op_rows, spec.bwd_rpo, spec.bwd_k,
+                              spec.bwd_g, spec.width, _interpret_mode())
+    # crop/pad to the forward buf layout [*, fwd_src_rows, width]
+    h = spec.src_hw[0]
+    dsrc = dsrc[:, :h, :]
+    dsrc = jnp.pad(dsrc, ((0, 0), (0, spec.fwd_src_rows - h), (0, 0)))
+    # table cotangents are never consumed; zeros get DCE'd by XLA
+    return (dsrc, jax.tree.map(jnp.zeros_like, tables_fwd),
+            jax.tree.map(jnp.zeros_like, tables_bwd))
+
+
+_warp_core.defvjp(_warp_core_fwd, _warp_core_bwd)
+
+
+def fixed_warp_apply(spec: FixedWarpSpec, tables: dict,
+                     im: jax.Array) -> jax.Array:
+    """Warp NHWC ``im`` with the precomputed fixed grid. Differentiable
+    w.r.t. ``im`` (the grid is constant by construction)."""
+    n, _, _, c = im.shape
+    buf = _to_buf_layout(im, spec)
+    out = _warp_core(spec, buf, tables["fwd"], tables["bwd"])
+    return _from_out_layout(out, spec, n, c)
