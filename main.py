@@ -1,0 +1,158 @@
+"""Step-by-step ProCams setup → capture → train → attack → summarize
+workflow (reference ``main.py``'s 8 interactive cells as one script with
+``--step`` selection).
+
+Works against real projector/camera hardware (``--hardware``) or the
+synthetic ProCams simulator (default — hardware-free, reference parity for
+every software stage).
+
+Steps (reference ``main.py`` cell numbers in parens):
+  1 setup            create setup dirs + setup_info.yml            (1)
+  2 capture          project & capture ref/cb/train/test patterns  (2-3)
+  3 check            classifiers must agree on the clean scene     (3)
+  4 train            train PCNet on the captured pairs             (4)
+  5 attack           run the SPAA attack sweep                     (5)
+  6 capture-attack   re-project adversarial images, capture real   (6)
+  7 summarize        per-setup stats + montages                    (7-8)
+
+Usage:
+  python main.py --data-root data --setup-name sim_test --steps 1-7
+  python main.py --hardware --data-root data --setup-name my_object \\
+      --steps 2 --cam-index 0
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from os.path import join
+
+import numpy as np
+
+
+def _parse_steps(spec: str):
+    out = set()
+    for part in spec.split(","):
+        if "-" in part:
+            a, b = part.split("-")
+            out.update(range(int(a), int(b) + 1))
+        else:
+            out.add(int(part))
+    return sorted(out)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data-root", default="data")
+    ap.add_argument("--setup-name", default="sim_test")
+    ap.add_argument("--steps", default="1-7")
+    ap.add_argument("--hardware", action="store_true",
+                    help="use a real projector + camera (else: simulator)")
+    ap.add_argument("--cam-index", type=int, default=0)
+    ap.add_argument("--prj-offset", type=int, nargs=2, default=(1920, 0),
+                    help="projector window position (second display)")
+    ap.add_argument("--load-pretrained", action="store_true")
+    args = ap.parse_args()
+    steps = _parse_steps(args.steps)
+
+    from spaa_tpu.utils.config import DictConfig, OmegaConf
+    from spaa_tpu.utils.seed import reset_rng_seeds
+
+    reset_rng_seeds(0)
+    data_root = args.data_root
+    setup_name = args.setup_name
+    setup_path = join(data_root, "setups", setup_name)
+
+    # ProCams backend (ref main.py:29-33 knobs live in setup_info)
+    if args.hardware:
+        from spaa_tpu.utils.config import OmegaConf as _OC
+        from spaa_tpu.utils.procams import HardwareProCams
+        info_path = join(setup_path, "setup_info.yml")
+        if not os.path.exists(info_path):
+            raise SystemExit("run --steps 1 first to create setup_info.yml")
+        procams = HardwareProCams(_OC.load(info_path))
+    else:
+        from spaa_tpu.utils.sim_procams import (DEFAULT_SIM_SETUP_INFO,
+                                                SimProCams)
+        procams = SimProCams(dict(DEFAULT_SIM_SETUP_INFO))
+
+    # ---- 1. setup info + directories (ref main.py:19-33,99)
+    if 1 in steps:
+        from spaa_tpu.utils.io import make_setup_subdirs
+        make_setup_subdirs(setup_path)
+        info_path = join(setup_path, "setup_info.yml")
+        if os.path.exists(info_path):
+            setup_info = OmegaConf.load(info_path)
+            print(f"Loaded existing {info_path}")
+        else:
+            setup_info = DictConfig(dict(
+                prj_screen_sz=[800, 600], prj_im_sz=[256, 256],
+                prj_offset=list(args.prj_offset), cam_raw_sz=[640, 480],
+                cam_crop_sz=[640, 480], cam_im_sz=[320, 240],
+                classifier_crop_sz=[240, 240], prj_brightness=0.5,
+                delay_frames=10, delay_time=0.02))
+            OmegaConf.save(setup_info, info_path)
+            print(f"Wrote default {info_path} — edit knobs and re-run")
+        print(dict(setup_info))
+
+    # ---- 2. project & capture the data (ref main.py:52-125)
+    if 2 in steps:
+        if args.hardware:
+            from spaa_tpu.utils.procams import capture_setup_data
+            capture_setup_data(procams, data_root, setup_name)
+        else:
+            print("[sim] generating synthetic captures for the full setup")
+            procams.make_setup(data_root, setup_name, num_train=500,
+                               num_test=200)
+
+    # ---- 3. classifiers must agree on the clean scene (ref main.py:128-135)
+    if 3 in steps:
+        import jax.numpy as jnp
+        from spaa_tpu.models.classifiers import (load_imagenet_labels,
+                                                 query_multi_classifiers)
+        from spaa_tpu.utils.io import imread
+        from spaa_tpu.train.data import load_setup_info
+        info = load_setup_info(setup_path)
+        cam_scene = imread(join(setup_path, "cam/raw/ref/img_0002.png"))
+        labels = load_imagenet_labels(
+            join(data_root, "imagenet1000_clsidx_to_labels.txt"))
+        cp_sz = tuple(int(c) for c in info["classifier_crop_sz"])
+        pred, _ = query_multi_classifiers(
+            jnp.asarray(cam_scene)[None], cp_sz,
+            ["inception_v3", "resnet18", "vgg16"], labels)
+        if len(set(pred)) != 1:
+            print("WARNING: classifiers disagree on the scene "
+                  "(expected with random-init weights; provide converted "
+                  "checkpoints in --data-root/../checkpoint for parity)")
+
+    # ---- 4. train PCNet (ref main.py:139-146)
+    if 4 in steps:
+        from spaa_tpu.train import get_model_train_cfg, train_eval_pcnet
+        cfg = get_model_train_cfg(["PCNet"], data_root, [setup_name],
+                                  load_pretrained=args.load_pretrained)
+        train_eval_pcnet(cfg)
+
+    # ---- 5. SPAA attack sweep (ref main.py:148-156)
+    if 5 in steps:
+        from spaa_tpu.attack import (get_attacker_cfg,
+                                     run_projector_based_attack)
+        cfg = get_attacker_cfg("SPAA", data_root, [setup_name],
+                               load_pretrained=True)
+        run_projector_based_attack(cfg)
+
+    # ---- 6. re-project + capture the adversarial images (ref main.py:158-166)
+    if 6 in steps:
+        from spaa_tpu.attack import (get_attacker_cfg,
+                                     project_capture_real_attack)
+        cfg = get_attacker_cfg("SPAA", data_root, [setup_name])
+        project_capture_real_attack(cfg, procams)
+
+    # ---- 7. summarize (ref main.py:166,221)
+    if 7 in steps:
+        from spaa_tpu.attack import summarize_single_attacker
+        df = summarize_single_attacker("SPAA", data_root, [setup_name])
+        print(df.head())
+
+
+if __name__ == "__main__":
+    main()

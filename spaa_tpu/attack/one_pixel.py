@@ -101,7 +101,7 @@ class BatchedDE:
     def solve(self):
         dim = len(self.bounds)
         pop = self._init_population(dim)
-        energies = np.asarray(self.fitness_fn(pop))
+        energies = np.array(self.fitness_fn(pop), copy=True)
         best_i = int(np.argmin(energies))
 
         for gen in range(self.maxiter):
@@ -168,15 +168,16 @@ class DigitalOnePixelAttacker:
             return (1.0 - probs) if targeted_attack else probs
 
         def callback(best_x):
-            _, p, _ = classifier(
+            raw, _, _ = classifier(
                 perturb(im, jnp.asarray(best_x[None]))[0],
                 self.classifier_crop_sz)
-            pred = int(p[0].argmax())
+            pp = np.asarray(jax.nn.softmax(raw, axis=1))
+            pred = int(pp[0].argmax())
             if verbose:
                 tag = (f"Target: {self.class_names[target_idx]:<20} "
                        if targeted_attack else "Untargeted | ")
                 print(f"{tag}Pred: {self.class_names[pred]:<20} "
-                      f"({p[0].max():.2f})")
+                      f"({pp[0].max():.2f})")
             return ((targeted_attack and pred == target_idx)
                     or (not targeted_attack and pred != target_idx))
 
@@ -185,13 +186,14 @@ class DigitalOnePixelAttacker:
         best_x, _ = de.solve()
 
         im_adv = perturb(im, jnp.asarray(best_x[None]))[0]
-        _, p, _ = classifier(jnp.stack([im, im_adv], 0),
-                             self.classifier_crop_sz)
-        true_p, pred_p = p[0].max(), p[1].max()
-        true_idx, pred_idx = int(p[0].argmax()), int(p[1].argmax())
+        raw, _, _ = classifier(jnp.stack([im, im_adv], 0),
+                               self.classifier_crop_sz)
+        pp = np.asarray(jax.nn.softmax(raw, axis=1))
+        true_p, pred_p = pp[0].max(), pp[1].max()
+        true_idx, pred_idx = int(pp[0].argmax()), int(pp[1].argmax())
         success = (pred_idx == target_idx) if targeted_attack \
             else (pred_idx != true_idx)
-        cdiff = p[0, target_idx] - p[1, target_idx]
+        cdiff = pp[0, target_idx] - pp[1, target_idx]
         table = pd.DataFrame(
             [[classifier.name, pixel_count, true_idx, pred_idx, success,
               true_p, pred_p, cdiff]],
@@ -241,21 +243,23 @@ class ProjectorOnePixelAttacker:
             out = np.empty(pop.shape[0])
             for i, x in enumerate(pop):          # serial: real captures
                 _, cam = self.perturb_project_capture(x, im, pixel_size)
-                _, p, _ = classifier(cam, self.cp_sz)
-                out[i] = (1 - p[0, target_idx]) if targeted_attack \
-                    else p[0, target_idx]
+                raw, _, _ = classifier(cam, self.cp_sz)
+                pp = np.asarray(jax.nn.softmax(raw, axis=1))
+                out[i] = (1 - pp[0, target_idx]) if targeted_attack \
+                    else pp[0, target_idx]
             return out
 
         def callback(best_x):
             _, cam = self.perturb_project_capture(best_x, im, pixel_size)
-            _, p, _ = classifier(cam, self.cp_sz)
-            pred = int(p[0].argmax())
+            raw, _, _ = classifier(cam, self.cp_sz)
+            pp = np.asarray(jax.nn.softmax(raw, axis=1))
+            pred = int(pp[0].argmax())
             if verbose:
                 tag = (f"Target: {self.class_names[target_idx]:<20} "
-                       f"({p[0, target_idx]:.2f}) | "
+                       f"({pp[0, target_idx]:.2f}) | "
                        if targeted_attack else "Untargeted | ")
                 print(f"{tag}Pred: {self.class_names[pred]:<20} "
-                      f"({p[0].max():.2f}) | GT: {str(true_label):<15}")
+                      f"({pp[0].max():.2f}) | GT: {str(true_label):<15}")
             return ((targeted_attack and pred == target_idx)
                     or (not targeted_attack and pred != target_idx))
 
@@ -270,12 +274,13 @@ class ProjectorOnePixelAttacker:
         both = np.stack([np.asarray(center_crop(jnp.asarray(org), self.cp_sz)),
                          np.asarray(center_crop(jnp.asarray(im_cam_adv),
                                                 self.cp_sz))], 0)
-        _, p, _ = classifier(both, self.cp_sz)
-        true_p, pred_p = p[0].max(), p[1].max()
-        true_idx, pred_idx = int(p[0].argmax()), int(p[1].argmax())
+        raw, _, _ = classifier(both, self.cp_sz)
+        pp = np.asarray(jax.nn.softmax(raw, axis=1))
+        true_p, pred_p = pp[0].max(), pp[1].max()
+        true_idx, pred_idx = int(pp[0].argmax()), int(pp[1].argmax())
         success = (pred_idx == target_idx) if targeted_attack \
             else (pred_idx != true_idx)
-        cdiff = p[0, target_idx] - p[1, target_idx]
+        cdiff = pp[0, target_idx] - pp[1, target_idx]
         table = pd.DataFrame(
             [[classifier.name, pixel_count, true_idx, pred_idx, success,
               true_p, pred_p, cdiff]],

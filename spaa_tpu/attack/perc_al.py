@@ -52,17 +52,13 @@ def _cross_entropy(raw: jax.Array, labels: jax.Array) -> jax.Array:
     return -jnp.sum(logp[jnp.arange(raw.shape[0]), labels])
 
 
-def perc_al_core(logits_fn: Callable, clf_params, inputs: jax.Array,
-                 labels: jax.Array, targeted: bool, cfg: PercALConfig,
-                 d_thr: jax.Array | None = None,
-                 projector_variant: bool = False):
-    """Shared loop for ``adversary`` (projector_variant=False) and
-    ``adversary_projector`` (True). Returns X_adv_round_best.
-
-    ``logits_fn(clf_params, im)`` with the classifier weights passed as a
-    jit argument (never a closure — see ``attack/spaa.py`` note)."""
+def _percal_body(logits_fn, clf_params, inputs, inputs_lab, labels,
+                 targeted: bool, cfg: PercALConfig, d_thr,
+                 projector_variant: bool, i, state):
+    """One PerC-AL iteration (ref ``perc_al/__init__.py:93-131,133-256``):
+    cosine-annealed alternating classification/color updates, 8-bit
+    quantization, masked best tracking."""
     b = inputs.shape[0]
-    inputs_lab = rgb2lab_diff(inputs)
     multiplier = -1.0 if targeted else 1.0
     alpha_l_min = cfg.alpha_l_init / 100.0
     alpha_c_min = cfg.alpha_c_init / 10.0
@@ -77,63 +73,109 @@ def perc_al_core(logits_fn: Callable, clf_params, inputs: jax.Array,
         color_dis = jnp.sqrt(jnp.sum(dmap.reshape(b, -1) ** 2, axis=1))
         return jnp.sum(color_dis), color_dis
 
-    def body(i, state):
-        delta, mask_adv, col_best, x_best = state
-        fi = i.astype(jnp.float32)
-        cos = 1.0 + jnp.cos(fi / cfg.max_iterations * jnp.pi)
-        alpha_c = alpha_c_min + 0.5 * (cfg.alpha_c_init - alpha_c_min) * cos
-        alpha_l = alpha_l_min + 0.5 * (cfg.alpha_l_init - alpha_l_min) * cos
+    delta, mask_adv, col_best, x_best = state
+    fi = i.astype(jnp.float32)
+    cos = 1.0 + jnp.cos(fi / cfg.max_iterations * jnp.pi)
+    alpha_c = alpha_c_min + 0.5 * (cfg.alpha_c_init - alpha_c_min) * cos
+    alpha_l = alpha_l_min + 0.5 * (cfg.alpha_l_init - alpha_l_min) * cos
 
-        grad_a = jax.grad(adv_loss_fn)(delta)
-        m = mask_adv[:, None, None, None]
-        delta = jnp.where(m, delta, delta + alpha_l * _normalized(grad_a))
+    grad_a = jax.grad(adv_loss_fn)(delta)
+    m = mask_adv[:, None, None, None]
+    delta = jnp.where(m, delta, delta + alpha_l * _normalized(grad_a))
 
-        (_, color_dis), grad_c = jax.value_and_grad(
-            color_fn, has_aux=True)(delta)
-        delta = jnp.where(m, delta - alpha_c * _normalized(grad_c), delta)
+    (_, color_dis), grad_c = jax.value_and_grad(
+        color_fn, has_aux=True)(delta)
+    delta = jnp.where(m, delta - alpha_c * _normalized(grad_c), delta)
 
-        delta = jnp.clip(inputs + delta, 0.0, 1.0) - inputs
-        x_round = quantization(inputs + delta)
+    delta = jnp.clip(inputs + delta, 0.0, 1.0) - inputs
+    x_round = quantization(inputs + delta)
 
-        raw = logits_fn(clf_params, x_round)
-        p = jax.nn.softmax(raw, axis=1)
-        top_idx = jnp.argmax(raw, axis=1)
-        top_p = jnp.max(p, axis=1)
+    raw = logits_fn(clf_params, x_round)
+    p = jax.nn.softmax(raw, axis=1)
+    top_idx = jnp.argmax(raw, axis=1)
+    top_p = jnp.max(p, axis=1)
 
-        if use_conf:
-            real = raw[jnp.arange(b), labels]
-            masked = raw.at[jnp.arange(b), labels].set(-jnp.inf)
-            other = jnp.max(masked, axis=1)
-            mask_isadv = (real - other) <= -cfg.confidence
-        elif targeted:
-            mask_isadv = top_idx == labels
+    if use_conf:
+        real = raw[jnp.arange(b), labels]
+        masked = raw.at[jnp.arange(b), labels].set(-jnp.inf)
+        other = jnp.max(masked, axis=1)
+        mask_isadv = (real - other) <= -cfg.confidence
+    elif targeted:
+        mask_isadv = top_idx == labels
+    else:
+        mask_isadv = top_idx != labels
+
+    if projector_variant:
+        # ref :214-238: also require perturbation size + confidence
+        caml2 = jnp.mean(jnp.sqrt(jnp.sum(delta * delta, axis=-1)),
+                         axis=(1, 2))
+        mask_high_pert = caml2 * 255.0 > d_thr
+        if targeted:
+            mask_best_adv = mask_isadv & (top_p > cfg.p_thresh) & mask_high_pert
         else:
-            mask_isadv = top_idx != labels
+            mask_best_adv = mask_isadv & mask_high_pert
+    else:
+        mask_best_adv = mask_isadv
 
-        if projector_variant:
-            # ref :214-238: also require perturbation size + confidence
-            caml2 = jnp.mean(jnp.sqrt(jnp.sum(delta * delta, axis=-1)),
-                             axis=(1, 2))
-            mask_high_pert = caml2 * 255.0 > d_thr
-            if targeted:
-                mask_best_adv = mask_isadv & (top_p > cfg.p_thresh) & mask_high_pert
-            else:
-                mask_best_adv = mask_isadv & mask_high_pert
-        else:
-            mask_best_adv = mask_isadv
+    mask_best = (color_dis < col_best) & mask_best_adv
+    col_best = jnp.where(mask_best, color_dis, col_best)
+    keep = (mask_isadv | mask_best)[:, None, None, None] \
+        if projector_variant else mask_best[:, None, None, None]
+    x_best = jnp.where(keep, x_round, x_best)
+    return delta, mask_best_adv, col_best, x_best
 
-        mask_best = (color_dis < col_best) & mask_best_adv
-        col_best = jnp.where(mask_best, color_dis, col_best)
-        keep = (mask_isadv | mask_best)[:, None, None, None] \
-            if projector_variant else mask_best[:, None, None, None]
-        x_best = jnp.where(keep, x_round, x_best)
-        return delta, mask_best_adv, col_best, x_best
 
+def perc_al_core(logits_fn: Callable, clf_params, inputs: jax.Array,
+                 labels: jax.Array, targeted: bool, cfg: PercALConfig,
+                 d_thr: jax.Array | None = None,
+                 projector_variant: bool = False):
+    """Shared loop for ``adversary`` (projector_variant=False) and
+    ``adversary_projector`` (True). Returns X_adv_round_best.
+
+    ``logits_fn(clf_params, im)`` with the classifier weights passed as a
+    jit argument (never a closure — see ``attack/spaa.py`` note)."""
+    b = inputs.shape[0]
+    inputs_lab = rgb2lab_diff(inputs)
     state = (jnp.zeros_like(inputs),
              jnp.zeros((b,), bool),
              jnp.full((b,), 1e5),
              inputs)
-    state = jax.lax.fori_loop(0, cfg.max_iterations, body, state)
+    state = jax.lax.fori_loop(
+        0, cfg.max_iterations,
+        lambda i, st: _percal_body(logits_fn, clf_params, inputs, inputs_lab,
+                                   labels, targeted, cfg, d_thr,
+                                   projector_variant, i, st),
+        state)
+    return state[3]
+
+
+_percal_step_jit = functools.partial(jax.jit,
+                                     static_argnums=(0, 5, 6, 8))(
+    lambda *a: _percal_body(*a))
+
+
+def _percal_run(logits_fn, clf_params, inputs, labels, targeted, cfg,
+                d_thr=None, projector_variant=False):
+    """Backend-adaptive runner: one jitted fori_loop program on
+    accelerators; a host-dispatched jitted per-iteration step on the CPU
+    backend (XLA CPU runs fori_loop bodies without the intra-op thread
+    pool — ~7x slower than the identical step dispatched from Python)."""
+    if jax.default_backend() != "cpu":
+        run = jax.jit(functools.partial(perc_al_core, logits_fn,
+                                        targeted=targeted, cfg=cfg,
+                                        projector_variant=projector_variant))
+        return run(clf_params, inputs, labels, d_thr=d_thr)
+
+    b = inputs.shape[0]
+    inputs_lab = rgb2lab_diff(inputs)
+    state = (jnp.zeros_like(inputs), jnp.zeros((b,), bool),
+             jnp.full((b,), 1e5), inputs)
+    d = jnp.zeros((b,)) if d_thr is None else d_thr
+    for i in range(cfg.max_iterations):
+        state = _percal_step_jit(logits_fn, clf_params, inputs, inputs_lab,
+                                 labels, targeted, cfg, d,
+                                 projector_variant,
+                                 jnp.asarray(i, jnp.int32), state)
     return state[3]
 
 
@@ -152,11 +194,9 @@ class PerC_AL:
         inputs = jnp.asarray(inputs)
         if float(inputs.min()) < 0 or float(inputs.max()) > 1:
             raise ValueError("Input values should be in the [0, 1] range.")
-        run = jax.jit(functools.partial(perc_al_core, logits_fn,
-                                        targeted=targeted, cfg=self.cfg,
-                                        projector_variant=False))
-        return run(clf_params, inputs,
-                   jnp.asarray(np.asarray(labels), jnp.int32))
+        return _percal_run(logits_fn, clf_params, inputs,
+                           jnp.asarray(np.asarray(labels), jnp.int32),
+                           targeted, self.cfg)
 
     def adversary_projector(self, logits_fn: Callable, clf_params, inputs,
                             labels, imagenet_labels=None, d_thr=5.0,
@@ -168,12 +208,11 @@ class PerC_AL:
         inputs = jnp.asarray(inputs)
         if float(inputs.min()) < 0 or float(inputs.max()) > 1:
             raise ValueError("Input values should be in the [0, 1] range.")
-        run = jax.jit(functools.partial(perc_al_core, logits_fn,
-                                        targeted=targeted, cfg=self.cfg,
-                                        projector_variant=True))
-        x_best = run(clf_params, inputs,
-                     jnp.asarray(np.asarray(labels), jnp.int32),
-                     d_thr=jnp.full((inputs.shape[0],), float(d_thr)))
+        x_best = _percal_run(logits_fn, clf_params, inputs,
+                             jnp.asarray(np.asarray(labels), jnp.int32),
+                             targeted, self.cfg,
+                             d_thr=jnp.full((inputs.shape[0],), float(d_thr)),
+                             projector_variant=True)
         if verbose and imagenet_labels is not None:
             raw = logits_fn(clf_params, x_best)
             p = jax.nn.softmax(raw, axis=1)

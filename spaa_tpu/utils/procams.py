@@ -178,3 +178,54 @@ def project_capture_data(prj_input_path: str, cam_cap_path: str, setup_info,
     if own:
         cam.release()
         plt.close("all")
+
+
+def capture_setup_data(procams, data_root: str, setup_name: str) -> None:
+    """Project + capture everything a setup needs (reference ``main.py``
+    cells 2-3): pure-color reference images (black/gray/white,
+    ``main.py:110-113``), the two complementary checkerboards for
+    direct-light separation (``main.py:116-120``), Gray-code structured
+    light (generated for completeness, ``main.py:122-125``), and the shared
+    train/test sampling patterns from ``prj_share``.
+
+    ``procams``: HardwareProCams or SimProCams (same interface)."""
+    from spaa_tpu.utils.imgproc_host import checkerboard, create_gray_pattern
+    from spaa_tpu.utils.io import make_setup_subdirs, save_imgs
+
+    setup_path = join(data_root, "setups", setup_name)
+    make_setup_subdirs(setup_path)
+    info = procams.setup_info
+    pw, ph = info["prj_im_sz"]
+
+    # pure-color reference patterns: black, setup gray, white
+    ref = np.stack([np.zeros((ph, pw, 3), np.float32),
+                    np.full((ph, pw, 3), float(info["prj_brightness"]),
+                            np.float32),
+                    np.ones((ph, pw, 3), np.float32)])
+    save_imgs(ref, join(setup_path, "prj/raw/ref"))
+
+    # two complementary checkerboards (Nayar direct/indirect separation)
+    cb = checkerboard((ph, pw), 16).astype(np.float32)
+    cb2 = 1.0 - cb
+    save_imgs(np.stack([np.repeat(cb[..., None], 3, -1),
+                        np.repeat(cb2[..., None], 3, -1)]),
+              join(setup_path, "prj/raw/cb"))
+
+    # Gray-code structured light (unused by SPAA itself; parity artifact)
+    gray = create_gray_pattern(pw, ph).astype(np.float32) / 255.0
+    save_imgs(gray, join(setup_path, "prj/raw/sl"))
+
+    # project & capture every directory (ref project_capture_data loops)
+    pairs = [("prj/raw/ref", "cam/raw/ref"),
+             ("prj/raw/cb", "cam/raw/cb"),
+             ("prj/raw/sl", "cam/raw/sl"),
+             (join(data_root, "prj_share/train"), "cam/raw/train"),
+             (join(data_root, "prj_share/test"), "cam/raw/test")]
+    for src, dst in pairs:
+        src_path = src if os.path.isabs(src) or src.startswith(data_root) \
+            else join(setup_path, src)
+        if not os.path.isdir(src_path):
+            print(f"[capture_setup_data] skipping missing {src_path}")
+            continue
+        procams.project_capture_data(src_path, join(setup_path, dst),
+                                     info)
