@@ -43,3 +43,22 @@ def shard_batch(tree, mesh: Mesh, axis: str = "data"):
 def replicate(tree, mesh: Mesh):
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def shard_attack_inputs(mesh: Mesh, pcnet_state, clf_params, cam_scene,
+                        prj_init, target_idx, targeted, weights, d_thr,
+                        axis: str = "data"):
+    """Shard a batched attack over the mesh: per-sample arrays split on the
+    batch axis, frozen model state replicated. The jitted attack program
+    then runs SPMD — per-sample math is device-local and XLA inserts the
+    (tiny) collectives for the batch-mean losses over ICI.
+
+    The TPU-native replacement for the reference's ``nn.DataParallel``
+    scatter/gather around its attack loops (SURVEY.md §2 parallelism)."""
+    bs = batch_sharding(mesh, axis)
+    rep = replicated(mesh)
+    put_b = lambda x: jax.device_put(x, bs)
+    put_r = lambda t: jax.tree.map(lambda x: jax.device_put(x, rep), t)
+    return (put_r(pcnet_state), put_r(clf_params),
+            jax.device_put(cam_scene, rep), put_b(prj_init),
+            put_b(target_idx), put_b(targeted), put_b(weights), put_b(d_thr))
