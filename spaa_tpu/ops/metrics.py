@@ -10,8 +10,6 @@ so stats tables line up column-for-column.
 
 from __future__ import annotations
 
-import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -69,6 +69,19 @@ class TrainedModel:
         return None
 
 
+def _make_curve_logger(cfg, data_root):
+    """Training-curve observability: JSONL always (cheap, headless-safe);
+    live visdom lines when cfg.plot_on and a server is reachable
+    (ref train_network.py:162-173 visdom plots, made optional)."""
+    from spaa_tpu.utils import vis
+    if cfg.get("plot_on", False):
+        vis.init_visdom()
+    path = join(data_root, "../log",
+                f"curves_{cfg.get('model_name', 'model')}_"
+                f"{cfg.get('setup_name', 'setup')}.jsonl")
+    return vis.CurveLogger(path)
+
+
 def _set_affine(params: dict, mask_corners) -> dict:
     """Initialize WarpingNet's affine from the mask bbox
     (ref ``train_network.py:543-547``)."""
@@ -173,7 +186,8 @@ def train_eval_pcnet(cfg_default):
                             loss_fn, params, tx,
                             dict(inputs=data["prj_train"][:num_train],
                                  targets=data["cam_train"][:num_train]),
-                            idx, cfg, valid_fn=evaluator)
+                            idx, cfg, valid_fn=evaluator,
+                            curve_logger=_make_curve_logger(cfg, data_root))
                         L.save_checkpoint(join(data_root, "../checkpoint"),
                                           params, L.opt_to_string(cfg))
 
@@ -336,7 +350,8 @@ def train_eval_compennet_pp(cfg_default):
                             loss_fn, params, tx,
                             dict(inputs=data["cam_train"][:num_train],
                                  targets=data["prj_train"][:num_train]),
-                            idx, cfg, valid_fn=evaluator)
+                            idx, cfg, valid_fn=evaluator,
+                            curve_logger=_make_curve_logger(cfg, data_root))
                         L.save_checkpoint(join(data_root, "../checkpoint"),
                                           params, L.opt_to_string(cfg))
 

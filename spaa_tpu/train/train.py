@@ -22,7 +22,6 @@ import math
 import random
 import time
 from functools import partial
-from os.path import join
 from typing import Callable, Optional
 
 import jax
@@ -152,7 +151,8 @@ def sample_batch_indices(num_train: int, batch_size: int, max_iters: int,
 def train_model_scan(apply_loss_fn: Callable, params, tx, train_arrays: dict,
                      batch_idx: np.ndarray, cfg,
                      valid_fn: Optional[Callable] = None,
-                     log_prefix: str = "", use_scan: Optional[bool] = None):
+                     log_prefix: str = "", use_scan: Optional[bool] = None,
+                     curve_logger=None):
     """Generic scan-segmented training loop.
 
     apply_loss_fn(params, inputs, targets, itr) -> (loss, l2)
@@ -228,6 +228,10 @@ def train_model_scan(apply_loss_fn: Callable, params, tx, train_arrays: dict,
               f"Train Loss: {loss_v:.4f} | Train RMSE: {rmse_v:.4f} | "
               f"Valid PSNR: {valid_psnr:2.4f} | Valid RMSE: {valid_rmse:.4f} "
               f"| Valid SSIM: {valid_ssim:.4f} |")
+        if curve_logger is not None:
+            curve_logger.append(it, train_loss=loss_v, train_rmse=rmse_v,
+                                valid_psnr=valid_psnr, valid_rmse=valid_rmse,
+                                valid_ssim=valid_ssim)
     return params, valid_psnr, valid_rmse, valid_ssim
 
 
