@@ -239,8 +239,14 @@ def make_pcnet_fn(trained, use_pallas_warp: Optional[bool] = None,
         from spaa_tpu.ops.pallas.warp import build_fixed_warp
         prj_hw = (int(trained.setup_info["prj_im_sz"][1]),
                   int(trained.setup_info["prj_im_sz"][0]))
+        # fold the binary direct-light mask into the warp weights (exact:
+        # PCNet multiplies the warped image by the mask immediately after)
+        dstw = None
+        if trained.mask is not None:
+            m = np.asarray(trained.mask)
+            dstw = m[..., 0] if m.ndim == 3 else m
         spec, warp_tables = build_fixed_warp(np.asarray(cache.fine_grid),
-                                             prj_hw)
+                                             prj_hw, dst_weight=dstw)
         print(f"[make_pcnet_fn] pallas warp tables: K_f={spec.fwd_k} "
               f"G_f={spec.fwd_g} K_b={spec.bwd_k} G_b={spec.bwd_g}")
         # pathological (non-smooth) grids explode the spill count; the XLA

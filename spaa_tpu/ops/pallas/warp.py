@@ -160,11 +160,18 @@ class FixedWarpSpec(NamedTuple):
     bwd_src_rows: int         # dout-buffer rows
 
 
-def build_fixed_warp(grid, src_hw: Tuple[int, int]):
+def build_fixed_warp(grid, src_hw: Tuple[int, int], dst_weight=None):
     """Precompute packing tables for a constant sampling grid.
 
     grid: [1, Ho, Wo, 2] (jnp or np) normalized coords.
     src_hw: (H, W) of the source image to be warped.
+    dst_weight: optional [Ho, Wo] (or [Ho, Wo, 1]) per-output multiplier
+        folded into the tap weights — e.g. PCNet's binary direct-light
+        mask, which is applied right after the warp anyway. Folding it is
+        exact (the warp is linear) and drops the degenerate requests from
+        grid regions clipped to the [-1, 1] border (outside the projector
+        FOV, where thousands of outputs all sample the same border pixel
+        and would explode the backward packing spill count).
     Returns (spec: FixedWarpSpec, tables: dict of jnp table pytrees).
     """
     grid_np = np.asarray(grid)[0]
@@ -173,6 +180,11 @@ def build_fixed_warp(grid, src_hw: Tuple[int, int]):
     width = _pad_up(max(w, _LANE), _LANE)
 
     out_flat, src_flat, wgt = _bilinear_requests(grid_np, (h, w))
+    if dst_weight is not None:
+        dw = np.asarray(dst_weight, np.float32).reshape(ho * wo)
+        wgt = wgt * dw[out_flat]
+        keep = wgt != 0.0
+        out_flat, src_flat, wgt = out_flat[keep], src_flat[keep], wgt[keep]
 
     # ---- forward: out[q] += w * src[R, C]
     src_rows = _pad_up(h, 8)

@@ -192,7 +192,7 @@ def train_eval_pcnet(cfg_default):
                                           params, L.opt_to_string(cfg))
 
                     # final validation + metrics table
-                    _, _, _, cam_valid_infer = evaluator(params)
+                    _, _, _, cam_valid_infer = evaluator(params, return_images=True)
                     vals = M.calc_img_dists(cam_valid_infer,
                                             data["cam_valid"])
                     ret.loc[len(ret)] = [setup_name, model_name, loss,
@@ -355,7 +355,7 @@ def train_eval_compennet_pp(cfg_default):
                         L.save_checkpoint(join(data_root, "../checkpoint"),
                                           params, L.opt_to_string(cfg))
 
-                    _, _, _, prj_valid_infer = evaluator(params)
+                    _, _, _, prj_valid_infer = evaluator(params, return_images=True)
                     vals = M.calc_img_dists(prj_valid_infer,
                                             data["prj_valid"])
                     ret.loc[len(ret)] = [setup_name, model_name, loss,

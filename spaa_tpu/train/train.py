@@ -238,7 +238,12 @@ def train_model_scan(apply_loss_fn: Callable, params, tx, train_arrays: dict,
 def make_evaluator(apply_fn: Callable, valid_inputs, valid_targets,
                    cam_scene, chunk_sz: int = 10):
     """Chunked no-grad eval (ref ``evaluate_model``,
-    ``train_network.py:395-441``). apply_fn(params, x, scene) -> infer."""
+    ``train_network.py:395-441``). apply_fn(params, x, scene) -> infer.
+
+    During training, only the scalar metrics cross the device boundary
+    (``return_images=False``) — materializing the inferred image stack per
+    validation costs hundreds of MB of device→host traffic; the images are
+    pulled once, at the final evaluation."""
     n = valid_inputs.shape[0]
     chunks = [c for c in np.array_split(np.arange(n), min(chunk_sz, n))
               if len(c)]
@@ -247,20 +252,31 @@ def make_evaluator(apply_fn: Callable, valid_inputs, valid_targets,
     v_gt = jax.device_put(valid_targets)
     scene = jax.device_put(cam_scene)
 
-    def evaluate(params):
+    @jax.jit
+    def _chunk_metrics(params, x, gt):
+        sc = jnp.broadcast_to(scene, (x.shape[0],) + scene.shape[1:])
+        infer = apply_fn(params, x, sc)
+        from spaa_tpu.ops.metrics import _metrics_device
+        return _metrics_device(infer, gt)[:3]
+
+    def evaluate(params, return_images: bool = False):
         infers = []
         psnr = rmse = ssim_v = 0.0
         for idx in chunks:
             x = v_in[idx[0]:idx[-1] + 1]
             gt = v_gt[idx[0]:idx[-1] + 1]
-            sc = jnp.broadcast_to(scene, (x.shape[0],) + scene.shape[1:])
-            infer = jit_apply(params, x, sc)
-            infers.append(np.asarray(infer))
-            p, r, s, *_ = M.calc_img_dists(infer, gt)
             frac = len(idx) / n
+            if return_images:
+                sc = jnp.broadcast_to(scene, (x.shape[0],) + scene.shape[1:])
+                infer = jit_apply(params, x, sc)
+                infers.append(np.asarray(infer))
+                p, r, s, *_ = M.calc_img_dists(infer, gt)
+            else:
+                p, r, s = (float(v) for v in _chunk_metrics(params, x, gt))
             psnr += p * frac
             rmse += r * frac
             ssim_v += s * frac
-        return psnr, rmse, ssim_v, np.concatenate(infers, 0)
+        images = np.concatenate(infers, 0) if return_images else None
+        return psnr, rmse, ssim_v, images
 
     return evaluate
