@@ -27,14 +27,55 @@ _RGB2XYZ = np.array([[0.4124, 0.3576, 0.1805],
 _XN, _YN, _ZN = 95.0489, 100.0, 108.8840  # D65 reference white (ref :49-51)
 
 
+@jax.custom_jvp
+def _srgb_gamma(x: jax.Array) -> jax.Array:
+    """((x+0.055)/1.055)^2.4 with a derivative that reuses the forward
+    value (d/dx x^2.4 = 2.4 y / x): halves the pow count in backward."""
+    return ((x + 0.055) / 1.055) ** 2.4
+
+
+@_srgb_gamma.defjvp
+def _srgb_gamma_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    y = _srgb_gamma(x)
+    return y, 2.4 * y / (x + 0.055) * dx
+
+
 def rgb2xyz(rgb: jax.Array) -> jax.Array:
-    """[..., 3] sRGB in [0,1] -> XYZ scaled by 100. Ref ``:12-24``."""
-    linear = jnp.where(rgb > 0.0405,
-                       ((rgb + 0.055) / 1.055) ** 2.4,
-                       rgb / 12.92)
-    linear = 100.0 * linear
-    return jnp.einsum("...c,kc->...k", linear, jnp.asarray(_RGB2XYZ),
-                      precision=jax.lax.Precision.HIGHEST)
+    """[..., 3] sRGB in [0,1] -> XYZ scaled by 100. Ref ``:12-24``.
+
+    The 3x3 color matrix is applied as elementwise madds, not a matmul:
+    a [10M, 3] x [3, 3] contraction can't use the MXU efficiently and the
+    materialized passes dominate; as scalar madds it fuses with the rest
+    of the Lab chain."""
+    linear = 100.0 * jnp.where(rgb > 0.0405, _srgb_gamma(rgb), rgb / 12.92)
+    r, g, b = linear[..., 0], linear[..., 1], linear[..., 2]
+    m = _RGB2XYZ
+    return jnp.stack([m[0, 0] * r + m[0, 1] * g + m[0, 2] * b,
+                      m[1, 0] * r + m[1, 1] * g + m[1, 2] * b,
+                      m[2, 0] * r + m[2, 1] * g + m[2, 2] * b], axis=-1)
+
+
+@jax.custom_jvp
+def _cbrt(x: jax.Array) -> jax.Array:
+    """cube root whose derivative reuses the forward value
+    (d/dx x^(1/3) = 1/(3 y^2))."""
+    return jnp.cbrt(x)
+
+
+@_cbrt.defjvp
+def _cbrt_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    y = _cbrt(x)
+    return y, dx / (3.0 * y * y)
+
+
+def _pow7(x: jax.Array) -> jax.Array:
+    """x^7 as 4 multiplies (XLA lowers float-exponent pow to exp/log —
+    ~10x the cost on the VPU)."""
+    x2 = x * x
+    x4 = x2 * x2
+    return x4 * x2 * x
 
 
 def _xyz_lab_f(t: jax.Array) -> jax.Array:
@@ -44,7 +85,7 @@ def _xyz_lab_f(t: jax.Array) -> jax.Array:
     is_zero = (t == 0.0)
     t_safe = t + 1e-4 * is_zero.astype(t.dtype)
     f = jnp.where(t_safe > 0.008856,
-                  jnp.cbrt(t_safe),
+                  _cbrt(t_safe),
                   7.787 * t_safe + 16.0 / 116.0)
     return f * (1.0 - is_zero.astype(t.dtype))
 
@@ -132,7 +173,7 @@ def ciede2000_diff(lab1: jax.Array, lab2: jax.Array,
     c2 = jnp.sqrt(a2 * a2 + b2 * b2)
     ac = (c1 + c2) / 2.0
 
-    ac7 = ac ** 7.0
+    ac7 = _pow7(ac)
     g = 0.5 * (1.0 - jnp.sqrt(ac7 / (ac7 + 25.0 ** 7.0)))
     a1p = (1.0 + g) * a1
     a2p = (1.0 + g) * a2
@@ -157,10 +198,11 @@ def ciede2000_diff(lab1: jax.Array, lab2: jax.Array,
          + 0.24 * jnp.cos(_radians(2.0 * ahp))
          + 0.32 * jnp.cos(_radians(3.0 * ahp + 6.0))
          - 0.2 * jnp.cos(_radians(4.0 * ahp - 63.0)))
-    dro = 30.0 * jnp.exp(-(((ahp - 275.0) / 25.0) ** 2.0))
-    acp7 = acp ** 7.0
+    _dro_arg = (ahp - 275.0) / 25.0
+    dro = 30.0 * jnp.exp(-(_dro_arg * _dro_arg))
+    acp7 = _pow7(acp)
     rc = jnp.sqrt(acp7 / (acp7 + 25.0 ** 7.0))
-    al50sq = (al - 50.0) ** 2.0
+    al50sq = (al - 50.0) * (al - 50.0)
     sl = 1.0 + 0.015 * al50sq / jnp.sqrt(20.0 + al50sq)
     sc = 1.0 + 0.045 * acp
     sh = 1.0 + 0.015 * acp * t
