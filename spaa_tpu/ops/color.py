@@ -90,16 +90,27 @@ def _xyz_lab_f(t: jax.Array) -> jax.Array:
     return f * (1.0 - is_zero.astype(t.dtype))
 
 
+def lab_from_rgb_channels(r: jax.Array, g: jax.Array, b: jax.Array):
+    """Channel-separate differentiable sRGB -> CIELAB core (shared by the
+    stacked API below and the fused Pallas kernel, where a trailing
+    3-channel axis would waste the 128-lane layout)."""
+    rl = 100.0 * jnp.where(r > 0.0405, _srgb_gamma(r), r / 12.92)
+    gl = 100.0 * jnp.where(g > 0.0405, _srgb_gamma(g), g / 12.92)
+    bl = 100.0 * jnp.where(b > 0.0405, _srgb_gamma(b), b / 12.92)
+    m = _RGB2XYZ
+    x = m[0, 0] * rl + m[0, 1] * gl + m[0, 2] * bl
+    y = m[1, 0] * rl + m[1, 1] * gl + m[1, 2] * bl
+    z = m[2, 0] * rl + m[2, 1] * gl + m[2, 2] * bl
+    fx = _xyz_lab_f(x / _XN)
+    fy = _xyz_lab_f(y / _YN)
+    fz = _xyz_lab_f(z / _ZN)
+    return 116.0 * fy - 16.0, 500.0 * (fx - fy), 200.0 * (fy - fz)
+
+
 def rgb2lab_diff(rgb: jax.Array) -> jax.Array:
     """Differentiable sRGB -> CIELAB, NHWC [..., 3] -> [..., 3] (L, a, b).
     Ref ``:39-64`` (named `_diff` there for 'differentiable')."""
-    xyz = rgb2xyz(rgb)
-    fx = _xyz_lab_f(xyz[..., 0] / _XN)
-    fy = _xyz_lab_f(xyz[..., 1] / _YN)
-    fz = _xyz_lab_f(xyz[..., 2] / _ZN)
-    l = 116.0 * fy - 16.0
-    a = 500.0 * (fx - fy)
-    b = 200.0 * (fy - fz)
+    l, a, b = lab_from_rgb_channels(rgb[..., 0], rgb[..., 1], rgb[..., 2])
     return jnp.stack([l, a, b], axis=-1)
 
 
@@ -111,11 +122,12 @@ def _radians(x):
     return x * (jnp.pi / 180.0)
 
 
-def _hpf(x, y):
+def _hpf(x, y, atan2=jnp.arctan2):
+
     """Hue angle in degrees in [0, 360), masked at (0,0). Ref ``:73-81``."""
     zero = ((x == 0) & (y == 0)).astype(x.dtype)
     nz = 1.0 - zero
-    h = _degrees(jnp.arctan2(x * nz, y * nz))
+    h = _degrees(atan2(x * nz, y * nz))
     return jnp.where(h >= 0, h, h + 360.0) * nz + 0.0
 
 
@@ -159,9 +171,15 @@ def ciede2000_diff(lab1: jax.Array, lab2: jax.Array,
     parity; pass ``standard=True`` for the textbook formula (verified
     against the Sharma et al. 2005 test pairs).
     """
-    l1, a1, b1 = lab1[..., 0], lab1[..., 1], lab1[..., 2]
-    l2, a2, b2 = lab2[..., 0], lab2[..., 1], lab2[..., 2]
+    return ciede2000_channels(lab1[..., 0], lab1[..., 1], lab1[..., 2],
+                              lab2[..., 0], lab2[..., 1], lab2[..., 2],
+                              standard=standard)
 
+
+def ciede2000_channels(l1, a1, b1, l2, a2, b2, standard: bool = False,
+                       atan2=jnp.arctan2):
+    """Channel-separate CIEDE2000 core (see :func:`ciede2000_diff`).
+    ``atan2``: pass :func:`_atan2_poly` inside Pallas kernels."""
     zero1 = ((a1 == 0) & (b1 == 0)).astype(l1.dtype)
     zero2 = ((a2 == 0) & (b2 == 0)).astype(l1.dtype)
     nz1 = 1.0 - zero1
@@ -180,13 +198,17 @@ def ciede2000_diff(lab1: jax.Array, lab2: jax.Array,
     c1p = jnp.sqrt(a1p * a1p + b1 * b1)
     c2p = jnp.sqrt(a2p * a2p + b2 * b2)
 
-    h1p = _hpf(b1, a1p) * nz1
-    h2p = _hpf(b2, a2p) * nz2
+    h1p = _hpf(b1, a1p, atan2) * nz1
+    h2p = _hpf(b2, a2p, atan2) * nz2
 
     dlp = l2 - l1
     dcp = c2p - c1p
     dhp = _dhpf(c1, c2, h1p, h2p)
-    dhp_big = 2.0 * jnp.sqrt(c1p * c2p) * jnp.sin(_radians(dhp) / 2.0)
+    # sqrt-at-0 guard: c1p*c2p can underflow to exactly 0 in f32 for
+    # near-neutral pixels, making the sqrt pullback NaN (latent hazard in
+    # the reference formulation too); max() routes the gradient safely
+    dhp_big = 2.0 * jnp.sqrt(jnp.maximum(c1p * c2p, 1e-30)) \
+        * jnp.sin(_radians(dhp) / 2.0)
     nz_both = 1.0 - jnp.maximum(zero1, zero2)
     dhp_big = dhp_big * nz_both
 
