@@ -38,7 +38,8 @@ def test_center_crop_matches_torch_rounding(rng):
 @pytest.mark.parametrize("in_sz,out_sz", [((12, 16), (6, 8)),
                                           ((10, 11), (7, 5)),
                                           ((8, 8), (8, 8)),
-                                          ((240, 240), (224, 224))])
+                                          ((240, 240), (224, 224)),
+                                          ((240, 240), (299, 299))])
 def test_resize_area_matches_torch(rng, in_sz, out_sz):
     x = rng.random((2, *in_sz, 3), np.float32)
     ours = np.asarray(resize_area(jnp.asarray(x), out_sz))

@@ -1,0 +1,106 @@
+"""Utility-layer contracts: config round-trip, checkpoint save/load,
+config-string naming (a de-facto API — directory names in the benchmark
+dataset are derived from it), log files, host image processing."""
+
+import os
+from os.path import join
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+def test_dictconfig_attribute_and_yaml_roundtrip(tmp_path):
+    from spaa_tpu.utils.config import DictConfig, OmegaConf
+    cfg = DictConfig(dict(a=1, nested=dict(b=[1, 2], c="x")))
+    cfg.d = 4.5
+    assert cfg.a == 1 and cfg.nested.b == [1, 2] and cfg["d"] == 4.5
+    path = str(tmp_path / "cfg.yml")
+    OmegaConf.save(cfg, path)
+    back = OmegaConf.load(path)
+    assert back.nested.c == "x" and back.d == 4.5
+    cp = cfg.copy()
+    del cp["a"]
+    assert "a" in cfg and "a" not in cp
+
+
+def test_opt_to_string_matches_reference_scheme():
+    """Checkpoint/directory naming must match the reference layout
+    (ref utils.py:673-675: setup_model_loss_num_batch_iters_lr_...)."""
+    from spaa_tpu.train import get_model_train_cfg
+    from spaa_tpu.utils.log import opt_to_string
+    cfg = get_model_train_cfg(["PCNet"], "d", ["setup_x"], single=True)
+    cfg.setup_name = "setup_x"
+    s = opt_to_string(cfg)
+    assert s.startswith("setup_x_PCNet_l1+ssim_500_24_2000"), s
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from spaa_tpu.utils.log import load_checkpoint, save_checkpoint
+    params = {"layer": {"kernel": jnp.ones((3, 4)), "bias": jnp.zeros(4)}}
+    path = save_checkpoint(str(tmp_path), params, "test_model")
+    assert os.path.exists(path)
+    template = {"layer": {"kernel": jnp.zeros((3, 4)),
+                          "bias": jnp.full((4,), 7.0)}}
+    back = load_checkpoint(path, template)
+    np.testing.assert_array_equal(np.asarray(back["layer"]["kernel"]),
+                                  np.ones((3, 4)))
+    np.testing.assert_array_equal(np.asarray(back["layer"]["bias"]),
+                                  np.zeros(4))
+
+
+def test_log_files_roundtrip(tmp_path):
+    import pandas as pd
+    from spaa_tpu.utils.log import init_log_file, read_log, write_log_file
+    ret, txt, xls = init_log_file(str(tmp_path))
+    ret.loc[0] = ["s", "PCNet", "l1+ssim", 500, 24, 2000,
+                  30.0, 0.01, 0.99, 1.0, 0.5, 0.2]
+    write_log_file(ret, txt, xls)
+    back = read_log(txt)
+    assert back.iloc[0]["Model"] == "PCNet"
+    assert abs(float(back.iloc[0]["PSNR"]) - 30.0) < 1e-6
+
+
+def test_checkerboard_and_gray_pattern():
+    from spaa_tpu.utils.imgproc_host import checkerboard, create_gray_pattern
+    # MATLAB-style checkerboard(n, p, q): n-px squares, 2p x 2q tiles
+    cb = checkerboard(16, 2, 3)
+    assert cb.shape == (16 * 4, 16 * 6)
+    # left half black/white tiles; shifting by one square flips the value
+    assert cb[0, 0] != cb[0, 16]
+    assert cb[0, 0] != cb[16, 0]
+    gray = create_gray_pattern(128, 96)
+    assert gray.shape[0] > 2 and gray.shape[1:] == (96, 128, 3)
+    assert gray.dtype == np.uint8
+
+
+def test_threshold_im_masks_projection_footprint():
+    from spaa_tpu.utils.imgproc_host import threshold_im
+    im = np.zeros((60, 80, 3), np.float32)
+    im[15:45, 20:60] = 0.8          # bright projection region
+    mask, roi, corners = threshold_im(im)
+    assert mask.dtype == bool and roi.dtype == bool
+    frac = mask.mean()
+    assert 0.1 < frac < 0.6
+    c = np.asarray(corners)
+    assert c.min() >= -1.01 and c.max() <= 1.01
+
+
+def test_sim_procams_capture_consistency(tmp_path):
+    """The simulator's capture() must match its own generated dataset
+    (same warp + shading), so hardware-free attacks are physically
+    consistent."""
+    from spaa_tpu.utils.io import imread
+    from spaa_tpu.utils.sim_procams import DEFAULT_SIM_SETUP_INFO, SimProCams
+    info = dict(DEFAULT_SIM_SETUP_INFO)
+    info.update(prj_im_sz=[32, 32], cam_im_sz=[32, 24],
+                classifier_crop_sz=[24, 24])
+    sim = SimProCams(info)
+    root = str(tmp_path)
+    sim.make_setup(root, "s", num_train=3, num_test=2)
+    prj = imread(join(root, "setups/s/prj/raw/ref/img_0002.png"))
+    cam_saved = imread(join(root, "setups/s/cam/raw/ref/img_0002.png"))
+    cam_live = sim.capture(prj)
+    # png quantization only
+    assert np.abs(cam_saved - cam_live).max() < 2.5 / 255.0
