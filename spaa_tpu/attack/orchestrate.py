@@ -24,11 +24,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from spaa_tpu.attack.perc_al import PerC_AL
-from spaa_tpu.attack.spaa import (SpaaConfig, spaa_attack_auto,
-                                  spaa_attack_batched, stealth_weights)
+from spaa_tpu.attack.spaa import SpaaConfig, spaa_attack_auto, stealth_weights
 from spaa_tpu.models.classifiers import (Classifier, load_imagenet_labels,
                                          make_logits_fn)
-from spaa_tpu.models.pcnet import PCNet
 from spaa_tpu.train.data import load_setup_info
 from spaa_tpu.train.train import get_model_train_cfg
 from spaa_tpu.utils.config import DictConfig

@@ -13,13 +13,20 @@ equivalent to the reference's per-config runs: the batch-mean loss only
 rescales each sample's gradient, which normalization cancels.
 
 Other re-designs:
-  - the two backward passes per iteration (adversarial + color loss,
-    ref ``:302-315``) share one forward via ``jax.vjp`` pullbacks;
+  - the reference's TWO full backward passes per iteration (adversarial +
+    color loss, ref ``:302-315``) become ONE PCNet pullback: the masked
+    update applies either gradient per sample, so the cheap camera-space
+    cotangents (classifier-bwd, color-bwd) are selected per sample BEFORE
+    the expensive pullback — exactly equivalent under the per-sample
+    gradient normalization (see ``_spaa_body``);
   - data-dependent in-place mask updates (``.data[mask] -=``) become
     branchless ``jnp.where`` selects;
-  - the loop is ``lax.fori_loop`` — 50 iterations on device with zero host
-    round-trips;
-  - PCNet runs with its baked `simplify` cache (constant sampling grid).
+  - on accelerators the loop is ``lax.fori_loop`` — all iterations on
+    device with zero host round-trips; on the XLA CPU backend (whose
+    loop bodies run without the intra-op thread pool) the same body is
+    dispatched stepwise from the host (``spaa_attack_auto`` picks);
+  - PCNet runs with its baked `simplify` cache: constant sampling grid,
+    executed by the Pallas fixed-grid warp kernel where profitable.
 """
 
 from __future__ import annotations

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import dataclasses
 import os
-import random
 from os.path import join
 from typing import Any, Callable, Optional
 
