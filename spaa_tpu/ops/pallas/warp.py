@@ -71,30 +71,46 @@ def _pack_requests(dst_row, dst_lane, src_row, src_lane, w,
     dst_row, dst_lane = dst_row[order], dst_lane[order]
     src_row, src_lane, w = src_row[order], src_lane[order], w[order]
 
-    spill = np.zeros(len(dst_row), np.int32)
-    starts = np.searchsorted(dst_row, np.arange(n_dst_rows))
-    ends = np.searchsorted(dst_row, np.arange(n_dst_rows), side="right")
-    k_max = 0
-    for o in range(n_dst_rows):
-        s, e = starts[o], ends[o]
-        if s == e:
-            continue
-        row_src: list = []    # src_row pinned to each spill row (-1 = free)
-        used_dst: list = []
-        for i in range(s, e):
-            r, dl = src_row[i], dst_lane[i]
-            for k in range(len(row_src) + 1):
-                if k == len(row_src):
-                    row_src.append(-1)
-                    used_dst.append(set())
-                if (row_src[k] in (-1, r)) and dl not in used_dst[k]:
-                    row_src[k] = r
-                    used_dst[k].add(dl)
-                    spill[i] = k
-                    break
-        k_max = max(k_max, len(row_src))
+    # Vectorized spill assignment. Constraints: a request row serves ONE
+    # (dst_row, src_row) pair (step-1 one-hot) and each dst_lane appears
+    # once per row (step-2 slot). Rows can never be shared across src_rows,
+    # so the optimal assignment is: within each (dst_row, src_row, dst_lane)
+    # run take spill = occurrence index; each (dst_row, src_row) group gets
+    # a contiguous block of rows sized by its max dst_lane multiplicity;
+    # blocks stack within the dst_row. Equivalent to greedy first-fit.
+    n = len(dst_row)
+    if n == 0:
+        K = 1
+        spill = np.zeros(0, np.int32)
+    else:
+        # occurrence index within identical (dst_row, src_row, dst_lane)
+        triple_change = np.ones(n, bool)
+        triple_change[1:] = ((dst_row[1:] != dst_row[:-1])
+                             | (src_row[1:] != src_row[:-1])
+                             | (dst_lane[1:] != dst_lane[:-1]))
+        idx = np.arange(n)
+        run_start = np.maximum.accumulate(np.where(triple_change, idx, 0))
+        occ = idx - run_start                       # spill within the group
+        # per (dst_row, src_row) group: size = max occ + 1
+        pair_change = np.ones(n, bool)
+        pair_change[1:] = ((dst_row[1:] != dst_row[:-1])
+                           | (src_row[1:] != src_row[:-1]))
+        pair_id = np.cumsum(pair_change) - 1
+        group_size = np.zeros(pair_id[-1] + 1, np.int64)
+        np.maximum.at(group_size, pair_id, occ + 1)
+        # offset of each group's block within its dst_row
+        first_of_pair = np.where(pair_change)[0]
+        pair_dst = dst_row[first_of_pair]
+        sizes = group_size
+        csum = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+        row_change = np.ones(len(first_of_pair), bool)
+        row_change[1:] = pair_dst[1:] != pair_dst[:-1]
+        row_base = np.maximum.accumulate(np.where(row_change,
+                                                  csum, 0))
+        group_offset = csum - row_base
+        spill = (group_offset[pair_id] + occ).astype(np.int32)
+        K = int(spill.max()) + 1
 
-    K = max(1, k_max)
     op_rows = max(8 * K, 64)           # request rows per op (sublane-tiled)
     rows_per_op = op_rows // K         # destination rows per op
     G = -(-n_dst_rows // rows_per_op)
