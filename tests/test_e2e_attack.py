@@ -75,3 +75,20 @@ def test_real_capture_and_summary(attacked_setup):
                                "SPAA_PCNet_l1+ssim_500_24_2000",
                                "stats.txt")) or glob.glob(
         join(root, "setups/e2e/ret/**/stats*"), recursive=True)
+
+
+def test_summarize_all_attackers_pivot(attacked_setup):
+    """Cross-setup gather + pivot table (paper Table 1 layout,
+    ref projector_based_attack.py:577-614). Runs after the per-setup
+    stats exist (previous test)."""
+    from spaa_tpu.attack import summarize_all_attackers
+    root, sim, cfg = attacked_setup
+    if not glob.glob(join(root, "setups/e2e/ret/**/stats.txt",),
+                     recursive=True):
+        pytest.skip("per-setup stats not generated")
+    table, pivot = summarize_all_attackers(["SPAA"], root, ["e2e"])
+    assert len(table) >= 1
+    assert "T.top-1_real" in pivot.columns
+    names = list(pivot.index.names)
+    assert names == ["Attacker", "d_thr", "Stealth_loss", "Classifier"]
+    assert os.path.exists(join(root, "setups/stats_all.txt"))
