@@ -95,10 +95,13 @@ def main() -> None:
             print(f"Wrote default {info_path} — edit knobs and re-run")
         print(dict(setup_info))
 
-    # ---- 2. project & capture the data (ref main.py:52-125)
+    # ---- 2. project & capture the data (ref main.py:52-125), preceded by
+    # the projector/camera "numbers" sync test (ref main.py:52-61)
     if 2 in steps:
         if args.hardware:
-            from spaa_tpu.utils.procams import capture_setup_data
+            from spaa_tpu.utils.procams import (capture_setup_data,
+                                                sync_test)
+            sync_test(procams, data_root)
             capture_setup_data(procams, data_root, setup_name)
         else:
             print("[sim] generating synthetic captures for the full setup")

@@ -82,16 +82,25 @@ def to_attacker_cfg_str(attacker_name: str):
 
 
 def perc_al_compennet_pp(compennet_pp_apply, classifier: Classifier,
-                         imagenet_labels, target_idx, targeted: bool,
+                         imagenet_labels, target_idx, targeted,
                          cam_scene, d_thr, setup_info,
                          max_iterations: int = 50):
     """Two-stage attacker (ref ``projector_based_attack.py:342-359``):
     PerC-AL digital attack on the camera image, then CompenNet++
-    compensates it into a projector input."""
+    compensates it into a projector input.
+
+    ``targeted`` may be a bool (reference semantics) or a per-sample bool
+    array — the fused sweep passes 10 targeted + 1 untargeted as one batch
+    (one compiled program per classifier instead of two). Confidence=40
+    only ever applies to untargeted samples (ref constructs the targeted
+    attacker with confidence=0, which is a no-op for targeted masks)."""
     num_target = len(target_idx)
     cam_scene_b = jnp.broadcast_to(jnp.asarray(cam_scene),
                                    (num_target,) + cam_scene.shape[1:])
-    confidence = 0 if targeted else 40
+    if isinstance(targeted, (bool, np.bool_)):
+        confidence = 0 if targeted else 40
+    else:
+        confidence = 40
     attacker = PerC_AL(max_iterations=max_iterations, alpha_l_init=1.0,
                        alpha_c_init=0.5, confidence=confidence)
     cp_sz = tuple(int(c) for c in setup_info["classifier_crop_sz"])
@@ -152,6 +161,8 @@ def run_projector_based_attack(cfg, procams=None,
                 model_cfg.model_list = ["CompenNet++"]
                 if "max_iters" in cfg:
                     model_cfg.max_iters = cfg.max_iters
+                if "init_max_iters" in cfg:  # test override (CompenNet init)
+                    model_cfg.init_max_iters = cfg.init_max_iters
                 trained, _, model_cfg = train_eval_compennet_pp(model_cfg)
             cfg.model_cfg = dict(model_cfg)
         else:
@@ -238,11 +249,15 @@ def make_pcnet_fn(trained, use_pallas_warp: Optional[bool] = None,
         prj_hw = (int(trained.setup_info["prj_im_sz"][1]),
                   int(trained.setup_info["prj_im_sz"][0]))
         # fold the binary direct-light mask into the warp weights (exact:
-        # PCNet multiplies the warped image by the mask immediately after)
+        # PCNet multiplies the warped image by the mask immediately after,
+        # and x*m*m == x*m ONLY for a 0/1 mask — a fractional/feathered
+        # mask would be squared silently, hence the assert)
         dstw = None
         if trained.mask is not None:
             m = np.asarray(trained.mask)
             dstw = m[..., 0] if m.ndim == 3 else m
+            assert np.all((dstw == 0.0) | (dstw == 1.0)), \
+                "direct-light mask must be binary to fold into warp weights"
         spec, warp_tables = build_fixed_warp(np.asarray(cache.fine_grid),
                                              prj_hw, dst_weight=dstw)
         print(f"[make_pcnet_fn] pallas warp tables: K_f={spec.fwd_k} "
@@ -264,20 +279,28 @@ def make_pcnet_fn(trained, use_pallas_warp: Optional[bool] = None,
             trained.params)
 
     def pcnet_apply(st, prj):
+        from spaa_tpu.models.pcnet import PCNetCache
         s = jnp.broadcast_to(st["scene"],
                              (prj.shape[0],) + st["scene"].shape[1:])
         warped = None
+        cache = st["cache"]
         if spec is not None:
             from spaa_tpu.ops.pallas.warp import fixed_warp_apply
             warped = fixed_warp_apply(spec, st["warp"], prj)
+            # the Pallas warp supersedes the baked grid, but the baked
+            # surface-branch features (use_rough=False variants) must be
+            # kept — dropping the whole cache would silently recompute the
+            # surface branch every forward
+            if cache is not None:
+                cache = (PCNetCache(None, cache.surface_feats)
+                         if cache.surface_feats is not None else None)
         if not lowp:
             return model.apply({"params": st["params"]}, prj, s, st["mask"],
-                               cache=st["cache"], warped=warped)
+                               cache=cache, warped=warped)
         out = model.apply(
             {"params": st["params_c"]}, prj.astype(cdtype), s.astype(cdtype),
             None if st["mask"] is None else jnp.asarray(st["mask"], cdtype),
-            cache=None if warped is not None else jax.tree.map(
-                lambda x: x, st["cache"]),
+            cache=None if cache is None else jax.tree.map(lambda x: x, cache),
             warped=None if warped is None else warped.astype(cdtype))
         return out.astype(jnp.float32)
 
@@ -359,25 +382,35 @@ def _run_percal_sweep(cfg, trained, classifier, cam_scene, target_idx,
     def compennet_pp_apply(cam, scene):
         return jit_apply(params, cam, scene)
 
+    # fused sweep: 10 targeted + 1 untargeted as ONE batched PerC-AL program
+    # per (loss, d_thr) — same technique as the SPAA sweep; per-sample
+    # gradient normalization makes it exactly equivalent to the reference's
+    # two separate runs (tests/test_attacks.py::test_percal_batched_*)
     for stealth_loss in cfg.stealth_losses:
         for d_thr in cfg.d_threshes:
             folder = join(attacker_cfg_str, stealth_loss, str(d_thr),
                           classifier_name)
-            cam_u, prj_u = perc_al_compennet_pp(
-                compennet_pp_apply, classifier, imagenet_labels, [true_idx],
-                False, jnp.asarray(cam_scene), d_thr, setup_info)
-            cam_t, prj_t = perc_al_compennet_pp(
-                compennet_pp_apply, classifier, imagenet_labels, target_idx,
-                True, jnp.asarray(cam_scene), d_thr, setup_info)
-            save_imgs(np.concatenate([np.asarray(cam_t), np.asarray(cam_u)]),
+            all_idx = list(target_idx) + [true_idx]
+            targeted_arr = np.asarray([True] * len(target_idx) + [False])
+            cam_all, prj_all = perc_al_compennet_pp(
+                compennet_pp_apply, classifier, imagenet_labels, all_idx,
+                targeted_arr, jnp.asarray(cam_scene), d_thr, setup_info,
+                max_iterations=int(cfg.get("attack_iters", 50)))
+            save_imgs(np.asarray(cam_all),
                       join(setup_path, "cam/infer/adv", folder))
-            save_imgs(np.concatenate([np.asarray(prj_t), np.asarray(prj_u)]),
+            save_imgs(np.asarray(prj_all),
                       join(setup_path, "prj/adv", folder))
 
 
 def _run_one_pixel(cfg, one_pixel_de, classifier, im_prj_org, target_idx,
                    true_idx, true_label, setup_path, attacker_cfg_str,
                    classifier_name, imagenet_labels, n):
+    # DE budget (ref projector_based_attack.py:111-130 defaults; the
+    # cfg.get overrides exist for tiny-shape CI runs)
+    pixel_size = int(cfg.get("op_pixel_size", 41))
+    maxiter = int(cfg.get("op_maxiter", 4))
+    pop_u = int(cfg.get("op_popsize_untargeted", 50))
+    pop_t = int(cfg.get("op_popsize_targeted", 10))
     for stealth_loss in cfg.stealth_losses:
         for d_thr in cfg.d_threshes:
             folder = join(attacker_cfg_str, stealth_loss, str(d_thr),
@@ -387,14 +420,14 @@ def _run_one_pixel(cfg, one_pixel_de, classifier, im_prj_org, target_idx,
             # untargeted (ref :110-113)
             _, prj_u, cam_u = one_pixel_de(
                 im_prj_org, classifier, False, target_idx=true_idx,
-                pixel_count=1, pixel_size=41, maxiter=4, popsize=50,
-                verbose=True, true_label=true_label)
+                pixel_count=1, pixel_size=pixel_size, maxiter=maxiter,
+                popsize=pop_u, verbose=True, true_label=true_label)
             # targeted (ref :124-134)
             for i in range(n):
                 _, prj_t, cam_t = one_pixel_de(
                     im_prj_org, classifier, True, target_idx=target_idx[i],
-                    pixel_count=1, pixel_size=41, maxiter=4, popsize=10,
-                    verbose=True, true_label=true_label)
+                    pixel_count=1, pixel_size=pixel_size, maxiter=maxiter,
+                    popsize=pop_t, verbose=True, true_label=true_label)
                 save_imgs(cam_t[None], cam_raw_adv_path, idx=i)
                 save_imgs(prj_t[None], prj_adv_path, idx=i)
             save_imgs(cam_u[None], cam_raw_adv_path, idx=n)

@@ -47,26 +47,39 @@ class PercALConfig(NamedTuple):
     p_thresh: float = 0.9   # projector variant only (ref :159)
 
 
-def _cross_entropy(raw: jax.Array, labels: jax.Array) -> jax.Array:
-    logp = jax.nn.log_softmax(raw, axis=1)
-    return -jnp.sum(logp[jnp.arange(raw.shape[0]), labels])
+def _as_targeted_array(targeted, b: int) -> jax.Array:
+    """Accept a python bool (uniform batch, reference semantics) or a [B]
+    bool array (mixed targeted/untargeted batch — the fused sweep used by
+    ``orchestrate._run_percal_sweep``)."""
+    if isinstance(targeted, (bool, np.bool_)):
+        return jnp.full((b,), bool(targeted))
+    return jnp.asarray(targeted)
 
 
 def _percal_body(logits_fn, clf_params, inputs, inputs_lab, labels,
-                 targeted: bool, cfg: PercALConfig, d_thr,
+                 targeted: jax.Array, cfg: PercALConfig, d_thr,
                  projector_variant: bool, i, state):
     """One PerC-AL iteration (ref ``perc_al/__init__.py:93-131,133-256``):
     cosine-annealed alternating classification/color updates, 8-bit
-    quantization, masked best tracking."""
+    quantization, masked best tracking.
+
+    ``targeted`` is a per-sample bool array: the batch may mix targeted and
+    untargeted attacks (one compiled program per classifier instead of two).
+    Per-sample gradient normalization makes the fused batch exactly
+    equivalent to separate runs; ``cfg.confidence`` only ever applies to
+    untargeted samples (the reference constructs targeted attackers with
+    confidence=0, ``projector_based_attack.py:342-359``)."""
     b = inputs.shape[0]
-    multiplier = -1.0 if targeted else 1.0
+    multiplier = jnp.where(targeted, -1.0, 1.0)
     alpha_l_min = cfg.alpha_l_init / 100.0
     alpha_c_min = cfg.alpha_c_init / 10.0
-    use_conf = (not targeted) and cfg.confidence != 0
+    use_conf = cfg.confidence != 0
 
     def adv_loss_fn(delta):
         raw = logits_fn(clf_params, inputs + delta)
-        return multiplier * _cross_entropy(raw, labels)
+        logp = jax.nn.log_softmax(raw, axis=1)
+        ce = -logp[jnp.arange(b), labels]
+        return jnp.sum(multiplier * ce)
 
     def color_fn(delta):
         dmap = ciede2000_diff(inputs_lab, rgb2lab_diff(inputs + delta))
@@ -99,21 +112,19 @@ def _percal_body(logits_fn, clf_params, inputs, inputs_lab, labels,
         real = raw[jnp.arange(b), labels]
         masked = raw.at[jnp.arange(b), labels].set(-jnp.inf)
         other = jnp.max(masked, axis=1)
-        mask_isadv = (real - other) <= -cfg.confidence
-    elif targeted:
-        mask_isadv = top_idx == labels
+        isadv_untargeted = (real - other) <= -cfg.confidence
     else:
-        mask_isadv = top_idx != labels
+        isadv_untargeted = top_idx != labels
+    mask_isadv = jnp.where(targeted, top_idx == labels, isadv_untargeted)
 
     if projector_variant:
-        # ref :214-238: also require perturbation size + confidence
+        # ref :214-238: also require perturbation size + (targeted only)
+        # classification confidence
         caml2 = jnp.mean(jnp.sqrt(jnp.sum(delta * delta, axis=-1)),
                          axis=(1, 2))
         mask_high_pert = caml2 * 255.0 > d_thr
-        if targeted:
-            mask_best_adv = mask_isadv & (top_p > cfg.p_thresh) & mask_high_pert
-        else:
-            mask_best_adv = mask_isadv & mask_high_pert
+        mask_best_adv = (mask_isadv & mask_high_pert
+                         & ((top_p > cfg.p_thresh) | ~targeted))
     else:
         mask_best_adv = mask_isadv
 
@@ -126,15 +137,18 @@ def _percal_body(logits_fn, clf_params, inputs, inputs_lab, labels,
 
 
 def perc_al_core(logits_fn: Callable, clf_params, inputs: jax.Array,
-                 labels: jax.Array, targeted: bool, cfg: PercALConfig,
+                 labels: jax.Array, targeted, cfg: PercALConfig,
                  d_thr: jax.Array | None = None,
                  projector_variant: bool = False):
     """Shared loop for ``adversary`` (projector_variant=False) and
     ``adversary_projector`` (True). Returns X_adv_round_best.
 
-    ``logits_fn(clf_params, im)`` with the classifier weights passed as a
-    jit argument (never a closure — see ``attack/spaa.py`` note)."""
+    ``targeted`` may be a bool or a per-sample [B] bool array (fused
+    targeted+untargeted batch). ``logits_fn(clf_params, im)`` with the
+    classifier weights passed as a jit argument (never a closure — see
+    ``attack/spaa.py`` note)."""
     b = inputs.shape[0]
+    targeted = _as_targeted_array(targeted, b)
     inputs_lab = rgb2lab_diff(inputs)
     state = (jnp.zeros_like(inputs),
              jnp.zeros((b,), bool),
@@ -150,7 +164,7 @@ def perc_al_core(logits_fn: Callable, clf_params, inputs: jax.Array,
 
 
 _percal_step_jit = functools.partial(jax.jit,
-                                     static_argnums=(0, 5, 6, 8))(
+                                     static_argnums=(0, 6, 8))(
     lambda *a: _percal_body(*a))
 
 
@@ -160,11 +174,11 @@ def _percal_run(logits_fn, clf_params, inputs, labels, targeted, cfg,
     accelerators; a host-dispatched jitted per-iteration step on the CPU
     backend (XLA CPU runs fori_loop bodies without the intra-op thread
     pool — ~7x slower than the identical step dispatched from Python)."""
+    t_arr = _as_targeted_array(targeted, inputs.shape[0])
     if jax.default_backend() != "cpu":
-        run = jax.jit(functools.partial(perc_al_core, logits_fn,
-                                        targeted=targeted, cfg=cfg,
+        run = jax.jit(functools.partial(perc_al_core, logits_fn, cfg=cfg,
                                         projector_variant=projector_variant))
-        return run(clf_params, inputs, labels, d_thr=d_thr)
+        return run(clf_params, inputs, labels, targeted=t_arr, d_thr=d_thr)
 
     b = inputs.shape[0]
     inputs_lab = rgb2lab_diff(inputs)
@@ -173,7 +187,7 @@ def _percal_run(logits_fn, clf_params, inputs, labels, targeted, cfg,
     d = jnp.zeros((b,)) if d_thr is None else d_thr
     for i in range(cfg.max_iterations):
         state = _percal_step_jit(logits_fn, clf_params, inputs, inputs_lab,
-                                 labels, targeted, cfg, d,
+                                 labels, t_arr, cfg, d,
                                  projector_variant,
                                  jnp.asarray(i, jnp.int32), state)
     return state[3]
@@ -200,10 +214,12 @@ class PerC_AL:
 
     def adversary_projector(self, logits_fn: Callable, clf_params, inputs,
                             labels, imagenet_labels=None, d_thr=5.0,
-                            targeted: bool = True, cp_sz=(240, 240),
+                            targeted=True, cp_sz=(240, 240),
                             verbose: bool = True):
         """Projector-adapted variant (ref ``:133-256``). ``logits_fn`` is
-        the classifier pipeline already specialized to ``cp_sz``."""
+        the classifier pipeline already specialized to ``cp_sz``.
+        ``targeted`` may be a bool or a per-sample [B] bool array (fused
+        targeted+untargeted batch — one compiled program)."""
         del cp_sz
         inputs = jnp.asarray(inputs)
         if float(inputs.min()) < 0 or float(inputs.max()) > 1:
@@ -216,7 +232,8 @@ class PerC_AL:
         if verbose and imagenet_labels is not None:
             raw = logits_fn(clf_params, x_best)
             p = jax.nn.softmax(raw, axis=1)
-            v = 7 if (targeted and inputs.shape[0] > 7) else 0
+            any_targeted = bool(np.asarray(targeted).any())
+            v = 7 if (any_targeted and inputs.shape[0] > 7) else 0
             idx = int(jnp.argmax(raw[v]))
             print(f"  [perc_al done] p = {float(p[v, idx]):.4f} | y = {idx} "
                   f"({imagenet_labels.get(idx, '?')})")

@@ -53,24 +53,33 @@ def attack_results(ret, t, imgnet_labels, im_gray, prj_adv, cam_scene,
     pred_l2 = l2_norm(cam_infer_cp, cam_scene_cp)
     real_l2 = l2_norm(cam_real_cp, cam_scene_cp)
 
-    im = expand_border(im, (0, 26, 0, 0))
-    im = insert_text(im, f"Cam-captured scene ({t})", (70, 0), 14)
-    im = insert_text(
-        im, f"{imgnet_labels[int(ret['scene'][2][0, 0])]} "
-            f"({ret['scene'][1][0, 0]:.2f})", (5, 14), 14)
-    im = insert_text(im, "Model inferred adversarial projection", (280, 0), 14)
-    im = insert_text(im, f"L2={prj_l2:.2f}", (370, 14), 14)
-    im = insert_text(im, "Model inferred cam-captured projection", (530, 0), 14)
-    im = insert_text(
-        im, f"{imgnet_labels[int(ret['infer'][2][t, 0])]} "
-            f"({ret['infer'][1][t, 0]:.2f})", (530, 14), 14)
-    im = insert_text(im, f"L2={pred_l2:.2f}", (720, 14), 14)
-    im = insert_text(im, "Real cam-captured projection", (820, 0), 14)
-    im = insert_text(
-        im, f"{imgnet_labels[int(ret['real'][2][t, 0])]} "
-            f"({ret['real'][1][t, 0]:.2f})", (790, 14), 14)
-    im = insert_text(im, f"L2={real_l2:.2f}", (980, 14), 14)
-    im = insert_text(im, "Normalized difference, i.e., 4th-1st", (1070, 0), 14)
+    # annotation geometry: the reference hardcodes coordinates for 256-px
+    # panels (5-px padding → 261-px pitch); scale so other prj_im_sz keep
+    # the labels on their panels (identical output at 256)
+    sx = (prj_hw[1] + 5) / 261.0
+    fsz = max(int(round(14 * prj_hw[1] / 256.0)), 8)
+    row2 = fsz
+
+    def txt(img, s, x, y, scale_x=True):
+        return insert_text(img, s, (int(round(x * sx)) if scale_x else x, y),
+                           fsz)
+
+    im = expand_border(im, (0, max(int(round(26 * prj_hw[1] / 256.0)), 12),
+                            0, 0))
+    im = txt(im, f"Cam-captured scene ({t})", 70, 0)
+    im = txt(im, f"{imgnet_labels[int(ret['scene'][2][0, 0])]} "
+                 f"({ret['scene'][1][0, 0]:.2f})", 5, row2)
+    im = txt(im, "Model inferred adversarial projection", 280, 0)
+    im = txt(im, f"L2={prj_l2:.2f}", 370, row2)
+    im = txt(im, "Model inferred cam-captured projection", 530, 0)
+    im = txt(im, f"{imgnet_labels[int(ret['infer'][2][t, 0])]} "
+                 f"({ret['infer'][1][t, 0]:.2f})", 530, row2)
+    im = txt(im, f"L2={pred_l2:.2f}", 720, row2)
+    im = txt(im, "Real cam-captured projection", 820, 0)
+    im = txt(im, f"{imgnet_labels[int(ret['real'][2][t, 0])]} "
+                 f"({ret['real'][1][t, 0]:.2f})", 790, row2)
+    im = txt(im, f"L2={real_l2:.2f}", 980, row2)
+    im = txt(im, "Normalized difference, i.e., 4th-1st", 1070, 0)
     return im
 
 
@@ -144,7 +153,11 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
         else:
             valid_ret = [0] * 6
 
-        classifiers = {}
+        # ---- pass 1: enumerate result cells + host image I/O ----------
+        # (ref runs the classifier per cell, serially — the ~30-min hotspot,
+        # reproduce_paper_results.py:71; here all cells of one classifier
+        # become ONE chunked batched classification below)
+        cells = []
         for stealth_loss in stealth_losses:
             for d_thr in d_threshes:
                 for classifier_name in classifier_names:
@@ -162,62 +175,97 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
                         print(f"No such folder/images: {folder} — skipping")
                         break
 
-                    prj_adv = imread_dir(prj_adv_path)
                     cam_real = imread_dir(cam_real_path)
-                    cam_infer = imread_dir(cam_infer_path) if dl_based \
-                        else cam_real
+                    cells.append(dict(
+                        stealth_loss=stealth_loss, d_thr=d_thr,
+                        classifier_name=classifier_name, folder=folder,
+                        prj_adv=imread_dir(prj_adv_path), cam_real=cam_real,
+                        cam_infer=(imread_dir(cam_infer_path) if dl_based
+                                   else cam_real)))
 
-                    if classifier_name not in classifiers:
-                        classifiers[classifier_name] = Classifier(
-                            classifier_name, weights_dir, sort_results=True)
-                    clf = classifiers[classifier_name]
-                    ret = {"scene": clf(jnp.asarray(cam_scene), cp_sz),
-                           "infer": clf(jnp.asarray(cam_infer), cp_sz),
-                           "real": clf(jnp.asarray(cam_real), cp_sz)}
+        # ---- pass 2: one chunked classification batch per classifier --
+        for classifier_name in classifier_names:
+            sel = [c for c in cells if c["classifier_name"] == classifier_name]
+            if not sel:
+                continue
+            clf = Classifier(classifier_name, weights_dir, sort_results=True)
+            stack = np.concatenate(
+                [cam_scene] + [np.concatenate([c["cam_infer"],
+                                               c["cam_real"]], 0)
+                               for c in sel], 0)
+            _, p_all, idx_all = clf(jnp.asarray(stack), cp_sz)
+            scene_ret = (None, p_all[:1], idx_all[:1])
+            ofs = 1
+            for c in sel:
+                ni = c["cam_infer"].shape[0]
+                nr = c["cam_real"].shape[0]
+                c["ret"] = {
+                    "scene": scene_ret,
+                    "infer": (None, p_all[ofs:ofs + ni],
+                              idx_all[ofs:ofs + ni]),
+                    "real": (None, p_all[ofs + ni:ofs + ni + nr],
+                             idx_all[ofs + ni:ofs + ni + nr])}
+                ofs += ni + nr
+            del clf  # free this classifier's device params
 
-                    montage = [attack_results(ret, t, imagenet_labels,
-                                              im_gray, prj_adv, cam_scene,
-                                              cam_infer, cam_real,
-                                              setup_info["prj_im_sz"], cp_sz)
-                               for t in range(n + 1)]
-                    save_imgs(np.stack(montage, 0),
-                              join(setup_path, "ret", folder))
+        # ---- pass 3: stats rows; montage render/write off the critical
+        # path (host-side PIL/PNG work overlaps the next cell's metrics) --
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=4)
+        futures = []
+        for c in cells:
+            ret, prj_adv = c["ret"], c["prj_adv"]
+            cam_infer, cam_real = c["cam_infer"], c["cam_real"]
 
-                    # success rates (ref :521-533)
-                    t1_infer = np.count_nonzero(
-                        ret["infer"][2][:n, 0] == target_idx) / n
-                    t5_infer = np.count_nonzero(
-                        [target_idx[i] in ret["infer"][2][i, :5]
-                         for i in range(n)]) / n
-                    t1_real = np.count_nonzero(
-                        ret["real"][2][:n, 0] == target_idx) / n
-                    t5_real = np.count_nonzero(
-                        [target_idx[i] in ret["real"][2][i, :5]
-                         for i in range(n)]) / n
-                    true_i = ret["scene"][2][0, 0]
-                    t1_untar_infer = int(ret["infer"][2][n, 0] != true_i)
-                    t1_untar_real = int(ret["real"][2][n, 0] != true_i)
+            def render(ret=ret, prj_adv=prj_adv, cam_infer=cam_infer,
+                       cam_real=cam_real, folder=c["folder"]):
+                montage = [attack_results(ret, t, imagenet_labels, im_gray,
+                                          prj_adv, cam_scene, cam_infer,
+                                          cam_real, setup_info["prj_im_sz"],
+                                          cp_sz)
+                           for t in range(n + 1)]
+                save_imgs(np.stack(montage, 0),
+                          join(setup_path, "ret", folder))
 
-                    def stealth_block(sl):
-                        pa = jnp.asarray(prj_adv[sl])
-                        ci = center_crop(jnp.asarray(cam_infer[sl]), cp_sz)
-                        cr = center_crop(jnp.asarray(cam_real[sl]), cp_sz)
-                        cs = center_crop(jnp.asarray(cam_scene), cp_sz)
-                        gray = jnp.broadcast_to(jnp.asarray(im_gray),
-                                                pa.shape)
-                        cs_b = jnp.broadcast_to(cs, ci.shape)
-                        return (list(calc_img_dists(pa, gray))
-                                + list(calc_img_dists(ci, cs_b))
-                                + list(calc_img_dists(cr, cs_b)))
+            futures.append(pool.submit(render))
 
-                    table.loc[len(table)] = [
-                        setup_name, attacker_cfg_str, stealth_loss, d_thr,
-                        classifier_name, t1_infer, t5_infer, t1_real,
-                        t5_real, t1_untar_infer, t1_untar_real, *valid_ret,
-                        *stealth_block(slice(0, n)),        # targeted
-                        *stealth_block(slice(n, n + 1)),    # untargeted
-                        *stealth_block(slice(0, n + 1)),    # all
-                    ]
+            # success rates (ref :521-533)
+            t1_infer = np.count_nonzero(
+                ret["infer"][2][:n, 0] == target_idx) / n
+            t5_infer = np.count_nonzero(
+                [target_idx[i] in ret["infer"][2][i, :5]
+                 for i in range(n)]) / n
+            t1_real = np.count_nonzero(
+                ret["real"][2][:n, 0] == target_idx) / n
+            t5_real = np.count_nonzero(
+                [target_idx[i] in ret["real"][2][i, :5]
+                 for i in range(n)]) / n
+            true_i = ret["scene"][2][0, 0]
+            t1_untar_infer = int(ret["infer"][2][n, 0] != true_i)
+            t1_untar_real = int(ret["real"][2][n, 0] != true_i)
+
+            def stealth_block(sl):
+                pa = jnp.asarray(prj_adv[sl])
+                ci = center_crop(jnp.asarray(cam_infer[sl]), cp_sz)
+                cr = center_crop(jnp.asarray(cam_real[sl]), cp_sz)
+                cs = center_crop(jnp.asarray(cam_scene), cp_sz)
+                gray = jnp.broadcast_to(jnp.asarray(im_gray), pa.shape)
+                cs_b = jnp.broadcast_to(cs, ci.shape)
+                return (list(calc_img_dists(pa, gray))
+                        + list(calc_img_dists(ci, cs_b))
+                        + list(calc_img_dists(cr, cs_b)))
+
+            table.loc[len(table)] = [
+                setup_name, attacker_cfg_str, c["stealth_loss"], c["d_thr"],
+                c["classifier_name"], t1_infer, t5_infer, t1_real,
+                t5_real, t1_untar_infer, t1_untar_real, *valid_ret,
+                *stealth_block(slice(0, n)),        # targeted
+                *stealth_block(slice(n, n + 1)),    # untargeted
+                *stealth_block(slice(0, n + 1)),    # all
+            ]
+        for f in futures:
+            f.result()
+        pool.shutdown()
 
         print(f"\n---- [{attacker_name}] results on [{setup_name}] ----")
         print(table.to_string(index=False, float_format="%.4f"))

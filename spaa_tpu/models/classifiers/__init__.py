@@ -119,10 +119,28 @@ def load_params_npz(path: str):
         return _unflatten({k: data[k] for k in data.files})
 
 
+_PARAMS_CACHE: dict = {}
+
+
 def load_params(model_name: str, weights_dir: Optional[str] = None,
                 seed: int = 0, verbose: bool = True):
     """Resolve classifier params: converted-.npz cache → torch .pth
-    (converted + cached) → deterministic random init."""
+    (converted + cached) → deterministic random init.
+
+    Results are memoized per (model, weights_dir, seed): summarize and the
+    attack sweep instantiate ``Classifier`` repeatedly, and with real
+    weights every reload would be a fresh disk read + host→device
+    transfer."""
+    cache_key = (model_name, weights_dir, seed)
+    if cache_key in _PARAMS_CACHE:
+        return _PARAMS_CACHE[cache_key]
+    params = _load_params_uncached(model_name, weights_dir, seed, verbose)
+    _PARAMS_CACHE[cache_key] = params
+    return params
+
+
+def _load_params_uncached(model_name: str, weights_dir: Optional[str],
+                          seed: int, verbose: bool):
     if weights_dir:
         npz = join(weights_dir, f"{model_name}.npz")
         if os.path.exists(npz):
@@ -140,6 +158,19 @@ def load_params(model_name: str, weights_dir: Optional[str] = None,
     return init_params(model_name, seed)
 
 
+@functools.lru_cache(maxsize=8)
+def _shared_logits_fn(model_name: str):
+    return make_logits_fn(model_name)
+
+
+@functools.lru_cache(maxsize=8)
+def _shared_jitted_logits(model_name: str):
+    """One jit wrapper per model name: fresh ``jax.jit(lambda)`` per
+    ``Classifier`` instance would re-trace on every instantiation (the
+    sweep and summarize construct many)."""
+    return jax.jit(_shared_logits_fn(model_name), static_argnums=(2,))
+
+
 class Classifier:
     """Host-facing wrapper with the reference's return convention
     (``classifier.py:55-75``): ``classify(im, crop_sz)`` →
@@ -154,17 +185,34 @@ class Classifier:
         self.sort_results = sort_results
         self.fix_params = fix_params
         self.params = load_params(model_name, weights_dir, seed)
-        self._logits_fn = make_logits_fn(model_name)
-        self._jitted = jax.jit(self._logits_fn, static_argnums=(2,))
+        self._logits_fn = _shared_logits_fn(model_name)
+        self._jitted = _shared_jitted_logits(model_name)
 
     def logits(self, im: jax.Array, crop_sz=(240, 240)) -> jax.Array:
         return self._jitted(self.params, im, tuple(int(c) for c in crop_sz))
 
-    def classify(self, im, crop_sz=(240, 240)):
+    def classify(self, im, crop_sz=(240, 240), chunk: int = 64):
+        """Large batches (summarize re-inference stacks whole sweeps) run
+        in fixed-size ``chunk`` slices — the tail is zero-padded so only
+        one extra program shape is ever compiled; small batches keep their
+        exact shape (the attack paths' 1- and 11-image programs)."""
         im = jnp.asarray(im)
         if im.dtype == jnp.uint8:
             im = im.astype(jnp.float32) / 255.0
-        raw = self.logits(im, crop_sz)
+        if im.ndim == 4 and im.shape[0] > chunk:
+            parts = []
+            n = im.shape[0]
+            for s in range(0, n, chunk):
+                part = im[s:s + chunk]
+                if part.shape[0] < chunk:
+                    pad = chunk - part.shape[0]
+                    part = jnp.concatenate(
+                        [part, jnp.zeros((pad,) + part.shape[1:],
+                                         part.dtype)])
+                parts.append(np.asarray(self.logits(part, crop_sz)))
+            raw = jnp.asarray(np.concatenate(parts)[:n])
+        else:
+            raw = self.logits(im, crop_sz)
         p = jax.nn.softmax(raw, axis=1)
         p_np = np.asarray(p)
         if self.sort_results:

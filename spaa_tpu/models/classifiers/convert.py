@@ -94,11 +94,11 @@ def convert_inception_v3(sd) -> dict:
             else:  # BN weight
                 node["scale"] = np.asarray(arr)
         elif leaf == "bias":
-            node["bias"] = np.asarray(arr)
+            node["bias"] = np.asarray(sd[key])
         elif leaf == "running_mean":
-            node["mean"] = np.asarray(arr)
+            node["mean"] = np.asarray(sd[key])
         elif leaf == "running_var":
-            node["var"] = np.asarray(arr)
+            node["var"] = np.asarray(sd[key])
     return p
 
 

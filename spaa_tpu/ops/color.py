@@ -9,8 +9,10 @@ epsilons, zero-chroma masks) because attack stealthiness parity depends on
 the exact loss surface.
 
 The whole chain is branchless elementwise math (`jnp.where`), which XLA
-fuses into a handful of VPU kernels; a fused Pallas variant is provided in
-``spaa_tpu.ops.pallas.ciede2000`` for the hot attack loop.
+fuses into a handful of VPU kernels on its own. (A hand-written Pallas
+CIEDE2000 kernel with an in-kernel VJP was prototyped and *matched but did
+not beat* XLA's fusion on v5e, so it was removed — see commit d119887;
+re-attempt only with explicit scheduling.)
 """
 
 from __future__ import annotations
@@ -179,7 +181,10 @@ def ciede2000_diff(lab1: jax.Array, lab2: jax.Array,
 def ciede2000_channels(l1, a1, b1, l2, a2, b2, standard: bool = False,
                        atan2=jnp.arctan2):
     """Channel-separate CIEDE2000 core (see :func:`ciede2000_diff`).
-    ``atan2``: pass :func:`_atan2_poly` inside Pallas kernels."""
+    ``atan2``: injectable arctangent for kernel variants that must supply
+    their own primitive (e.g. a polynomial approximation inside a Pallas
+    body, where ``jnp.arctan2`` is unavailable); the default is exact and
+    is what every in-tree caller uses."""
     zero1 = ((a1 == 0) & (b1 == 0)).astype(l1.dtype)
     zero2 = ((a2 == 0) & (b2 == 0)).astype(l1.dtype)
     nz1 = 1.0 - zero1

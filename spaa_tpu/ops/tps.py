@@ -96,13 +96,22 @@ def tps_grid(theta: jax.Array, ctrl: jax.Array, size) -> jax.Array:
 
 
 def tps_d(theta: jax.Array, ctrl: jax.Array, grid: jax.Array) -> jax.Array:
-    """1-D output TPS (depth approximation). theta: [N, T+3, 1] or reduced.
-    Ref ``pytorch_tps.py:109-157``."""
+    """1-D output TPS (depth approximation): theta [N, T+3, 1] (or reduced
+    [N, T+2, 1]) → z [N, H, W, 1]. Ref ``pytorch_tps.py:109-157``.
+
+    The reference implements this as a separate function because its 2-D
+    ``tps`` hardcodes two output channels; here :func:`tps` is generic over
+    the trailing channel dim (the einsum contracts ``c`` of any size), so
+    the 1-D math IS the shared core evaluated with C=1 — verified against
+    a direct transcription of the reference formula in
+    ``tests/test_tps.py::test_tps_d_matches_reference_formula``."""
     return tps(theta, ctrl, grid)
 
 
 def tps_depth(theta: jax.Array, ctrl: jax.Array, size) -> jax.Array:
-    """TPS depth map [N, H, W, 1]. Ref ``pytorch_tps.py:160-186``."""
+    """TPS depth map [N, H, W, 1] on the uniform homogeneous grid
+    (C=1 case of the generic core, see :func:`tps_d`).
+    Ref ``pytorch_tps.py:160-186``."""
     if len(size) == 4:
         n, _, h, w = size
     else:

@@ -174,6 +174,31 @@ def create_gray_pattern(w: int, h: int) -> np.ndarray:
     return np.transpose(np.tile(pats[..., None], (1, 1, 1, 3)), (2, 0, 1, 3))
 
 
+def create_number_pattern(w: int, h: int, count: int = 10) -> np.ndarray:
+    """Projector/camera sync-test "numbers" patterns → (count, h, w, 3)
+    float.
+
+    The benchmark dataset ships these as ``prj_share/numbers`` and the
+    reference projects+captures them to verify the open-loop sync knobs
+    (``delay_time``/``delay_frames``) before any real capture
+    (ref ``main.py:52-61``): if ProCams are out of sync, the captured
+    number lags the projected one. The dataset images aren't
+    redistributable, so they are generated here: mid-gray frames with a
+    large centered index digit (contents only need to be visually ordered
+    and distinguishable)."""
+    ims = []
+    for i in range(1, count + 1):
+        im = np.full((h, w, 3), 0.5, np.float32)
+        text = str(i)
+        font_sz = h // 2
+        # roughly centered (digit glyphs are ~0.5*font_sz wide)
+        x = max((w - int(0.5 * font_sz) * len(text)) // 2, 0)
+        y = max((h - font_sz) // 2 - font_sz // 8, 0)
+        ims.append(insert_text(im, text, (x, y), font_sz,
+                               color=(255, 255, 255)))
+    return np.stack(ims, 0)
+
+
 def insert_text(im_hwc: np.ndarray, text: str, pos, font_sz: int = 14,
                 color=(0, 0, 0)) -> np.ndarray:
     """Annotate an HWC float image with text (PIL). Ref
@@ -206,6 +231,28 @@ def to_pseudocolor(x: np.ndarray, colormap=cv.COLORMAP_JET) -> np.ndarray:
     x = (x - x.min()) / max(x.max() - x.min(), 1e-12)
     cm = cv.applyColorMap(np.uint8(x * 255), colormap)
     return cv.cvtColor(cm, cv.COLOR_BGR2RGB).astype(np.float32) / 255.0
+
+
+def make_grid_transposed(images: np.ndarray, nrow: int = 8,
+                         padding: int = 2,
+                         pad_value: float = 0.0) -> np.ndarray:
+    """Column-major variant of :func:`make_grid` (ref ``utils.py:334-416``
+    ``make_grid_transposed``): image k lands at (row k%nrow, col k//nrow),
+    i.e. ``nrow`` is the number of rows and consecutive images fill down a
+    column first."""
+    imgs = np.asarray(images)
+    n, h, w, c = imgs.shape
+    nr = min(nrow, n)
+    ncol = int(np.ceil(n / nr))
+    gh = nr * (h + padding) + padding
+    gw = ncol * (w + padding) + padding
+    grid = np.full((gh, gw, c), pad_value, imgs.dtype)
+    for k in range(n):
+        col, r = divmod(k, nr)
+        y0 = r * (h + padding) + padding
+        x0 = col * (w + padding) + padding
+        grid[y0:y0 + h, x0:x0 + w] = imgs[k]
+    return grid
 
 
 def make_grid(images: np.ndarray, nrow: int = 8, padding: int = 2,

@@ -180,6 +180,32 @@ def project_capture_data(prj_input_path: str, cam_cap_path: str, setup_info,
         plt.close("all")
 
 
+def sync_test(procams, data_root: str, setup_name: str = "sync_test",
+              count: int = 10) -> str:
+    """Projector↔camera sync check (ref ``main.py:52-61``): project the
+    numbered patterns in ``prj_share/numbers`` (generated if absent — the
+    dataset's own images aren't redistributable) and capture to
+    ``setups/<setup_name>/cam/raw/numbers``. Inspect the captures: if the
+    shown number lags the projected one, increase ``delay_time`` /
+    ``delay_frames`` in setup_info. Returns the capture directory."""
+    from spaa_tpu.utils.imgproc_host import create_number_pattern
+    from spaa_tpu.utils.io import save_imgs
+
+    info = procams.setup_info
+    prj_input_path = join(data_root, "prj_share", "numbers")
+    if not os.path.isdir(prj_input_path) or not os.listdir(prj_input_path):
+        pw, ph = info["prj_im_sz"]
+        save_imgs(create_number_pattern(pw, ph, count), prj_input_path)
+        print(f"[sync_test] generated {count} number patterns in "
+              f"{prj_input_path}")
+    cam_cap_path = join(data_root, "setups", setup_name, "cam/raw/numbers")
+    procams.project_capture_data(prj_input_path, cam_cap_path, info)
+    print(f"[sync_test] inspect {cam_cap_path}: each captured frame must "
+          "show the same number as its projected input — otherwise "
+          "increase delay_time/delay_frames in setup_info")
+    return cam_cap_path
+
+
 def capture_setup_data(procams, data_root: str, setup_name: str) -> None:
     """Project + capture everything a setup needs (reference ``main.py``
     cells 2-3): pure-color reference images (black/gray/white,
@@ -204,10 +230,17 @@ def capture_setup_data(procams, data_root: str, setup_name: str) -> None:
                     np.ones((ph, pw, 3), np.float32)])
     save_imgs(ref, join(setup_path, "prj/raw/ref"))
 
-    # two complementary checkerboards (Nayar direct/indirect separation)
-    cb = checkerboard((ph, pw), 16).astype(np.float32)
-    cb2 = 1.0 - cb
-    save_imgs(np.stack([np.repeat(cb[..., None], 3, -1),
+    # two complementary checkerboards (Nayar direct/indirect separation);
+    # ref main.py:116-120: 32 squares per half image, binarized
+    num_squares = 32
+    cb_sz = max(ph // (num_squares * 2), 1)
+    cb = checkerboard(cb_sz, num_squares)
+    cb1 = (cb > 0.5).astype(np.float32)
+    cb2 = (cb < 0.5).astype(np.float32)
+    if cb1.shape != (ph, pw):  # non-square/odd projector sizes
+        cb1 = cv.resize(cb1, (pw, ph), interpolation=cv.INTER_NEAREST)
+        cb2 = cv.resize(cb2, (pw, ph), interpolation=cv.INTER_NEAREST)
+    save_imgs(np.stack([np.repeat(cb1[..., None], 3, -1),
                         np.repeat(cb2[..., None], 3, -1)]),
               join(setup_path, "prj/raw/cb"))
 

@@ -118,6 +118,43 @@ def plot_montage(*image_batches, index=None, win=None, title=None, env=None,
                       opts=dict(title=title, caption=title), env=env)
 
 
+def vis_pcnet_process(model, params, prj_input, cam_scene, cam_train,
+                      cam_mask, mask=None, title="PCNet process "
+                      "(intermediate results)"):
+    """PCNet intermediate-stage montage (ref ``vis_pcnet_process``,
+    ``utils.py:239-256``): scene, mask, projector input, warped input,
+    masked warp, rough render, inferred capture, ground-truth capture —
+    two-row transposed grid. Returns the montage (HWC float) and shows it
+    in visdom when a server is online.
+
+    model/params: the PCNet module + trained params; prj_input [1,Hp,Wp,3];
+    cam_scene/cam_train [1,H,W,3]; cam_mask [H,W,1] float."""
+    import cv2 as cv
+    import jax.numpy as jnp
+
+    from spaa_tpu.utils.imgproc_host import make_grid_transposed
+
+    m = cam_mask if mask is None else mask
+    prj_warp = model.apply({"params": params}, jnp.asarray(prj_input),
+                           method=lambda mod, x: mod.warping_net(x))
+    cam_infer = model.apply({"params": params}, jnp.asarray(prj_input),
+                            jnp.asarray(cam_scene), jnp.asarray(m))
+    prj_warp = np.asarray(prj_warp)
+    prj_warp_masked = prj_warp * np.asarray(m)
+    cam_rough = prj_warp_masked * np.asarray(cam_scene)
+
+    h, w = np.asarray(cam_scene).shape[1:3]
+    mask_vis = np.repeat(np.asarray(m, np.float32).reshape(h, w, 1), 3, -1)
+    panels = [np.asarray(cam_scene)[0], mask_vis,
+              cv.resize(np.asarray(prj_input)[0], (w, h)),
+              prj_warp[0], prj_warp_masked[0], cam_rough[0],
+              np.asarray(cam_infer)[0], np.asarray(cam_train)[0]]
+    montage = make_grid_transposed(np.stack(panels, 0), nrow=2, padding=5,
+                                   pad_value=1.0)
+    vfs(montage, title=title)
+    return montage
+
+
 def fs(input_data, title=None, cmap="gray", facecolor="black"):
     """figure-show via matplotlib (ref ``utils.py:171-210``); no-op when
     headless."""

@@ -178,6 +178,46 @@ def test_perc_al_digital_runs():
     assert np.isfinite(np.asarray(out2)).all()
 
 
+def test_percal_fused_batch_matches_sequential_runs():
+    """The fused targeted+untargeted PerC-AL batch (one compiled program,
+    used by orchestrate._run_percal_sweep) must reproduce the reference
+    structure's two separate runs exactly: per-sample gradient
+    normalization decouples the batch, and confidence only affects
+    untargeted masks."""
+    from spaa_tpu.attack.perc_al import PercALConfig, _percal_run
+    rng = np.random.default_rng(4)
+    k_cl = jnp.asarray(rng.normal(0, 0.1, (H * W * 3, NCLS)).astype(np.float32))
+
+    def logits_fn(params, im):
+        return im.reshape(im.shape[0], -1) @ params
+
+    inputs = jnp.asarray(rng.random((4, H, W, 3)).astype(np.float32))
+    labels = jnp.asarray([1, 2, 3, 5], jnp.int32)
+    d_thr = jnp.full((4,), 2.0)
+    iters = 6
+
+    # sequential, reference structure: targeted run (confidence=0) and
+    # untargeted run (confidence=40), separately compiled
+    cfg_t = PercALConfig(max_iterations=iters, confidence=0)
+    cfg_u = PercALConfig(max_iterations=iters, confidence=40)
+    out_t = _percal_run(logits_fn, k_cl, inputs[:3], labels[:3], True,
+                        cfg_t, d_thr=d_thr[:3], projector_variant=True)
+    out_u = _percal_run(logits_fn, k_cl, inputs[3:], labels[3:], False,
+                        cfg_u, d_thr=d_thr[3:], projector_variant=True)
+
+    # fused: one batch, per-sample targeted flags, confidence=40 (only
+    # applies to the untargeted sample)
+    cfg_b = PercALConfig(max_iterations=iters, confidence=40)
+    out_b = _percal_run(logits_fn, k_cl, inputs, labels,
+                        np.asarray([True, True, True, False]), cfg_b,
+                        d_thr=d_thr, projector_variant=True)
+
+    np.testing.assert_allclose(np.asarray(out_b[:3]), np.asarray(out_t),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_b[3:]), np.asarray(out_u),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_one_pixel_digital_batched_de():
     from spaa_tpu.attack.one_pixel import BatchedDE, DigitalOnePixelAttacker
 

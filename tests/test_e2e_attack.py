@@ -77,18 +77,85 @@ def test_real_capture_and_summary(attacked_setup):
         join(root, "setups/e2e/ret/**/stats*"), recursive=True)
 
 
+def test_percal_compennet_pp_e2e(attacked_setup):
+    """PerC-AL+CompenNet++ end-to-end at tiny shapes: CompenNet init +
+    CompenNet++ training, the fused targeted+untargeted PerC-AL batch,
+    simulated real capture, and the per-setup stats row
+    (ref projector_based_attack.py:342-359 + :417-574)."""
+    root, sim, _ = attacked_setup
+    cfg = get_attacker_cfg("PerC-AL+CompenNet++", root, ["e2e"])
+    cfg.max_iters = 30           # CompenNet++ training budget
+    cfg.init_max_iters = 20      # CompenNet init pretrain budget
+    cfg.attack_iters = 6         # PerC-AL budget
+    cfg.classifier_names = ["resnet18"]
+    cfg = run_projector_based_attack(cfg)
+
+    advs = glob.glob(join(root, "setups/e2e/prj/adv/PerC-AL+CompenNet++*",
+                          "**/*.png"), recursive=True)
+    assert len(advs) == 11, advs
+    assert any("/camdE/11/resnet18/" in a for a in advs)
+
+    project_capture_real_attack(cfg, sim)
+    df = summarize_single_attacker(
+        attacker_name="PerC-AL+CompenNet++", data_root=root,
+        setup_list=["e2e"], classifier_names=["resnet18"])
+    assert len(df) == 1
+    row = df.iloc[0]
+    assert row["Stealth_loss"] == "camdE" and row["d_thr"] == 11
+    assert np.isfinite(row["All.real_dE"])
+
+
+def test_one_pixel_de_e2e(attacked_setup):
+    """One-pixel_DE end-to-end at tiny DE budget through the simulator
+    project-and-capture loop, then its stats row with the '-'/'-' grid
+    semantics (ref projector_based_attack.py:444-446)."""
+    root, sim, _ = attacked_setup
+    cfg = get_attacker_cfg("One-pixel_DE", root, ["e2e"])
+    cfg.classifier_names = ["resnet18"]
+    cfg.op_pixel_size = 21
+    cfg.op_maxiter = 1
+    cfg.op_popsize_untargeted = 8
+    cfg.op_popsize_targeted = 6
+    run_projector_based_attack(cfg, procams=sim)
+
+    advs = glob.glob(join(root, "setups/e2e/prj/adv/One-pixel_DE/**/*.png"),
+                     recursive=True)
+    assert len(advs) == 11, advs
+    assert any("/-/-/resnet18/" in a for a in advs)
+    # model-free attacker captures raw camera frames directly
+    raws = glob.glob(join(root,
+                          "setups/e2e/cam/raw/adv/One-pixel_DE/**/*.png"),
+                     recursive=True)
+    assert len(raws) == 11
+
+    df = summarize_single_attacker(
+        attacker_name="One-pixel_DE", data_root=root, setup_list=["e2e"],
+        classifier_names=["resnet18"])
+    assert len(df) == 1
+    row = df.iloc[0]
+    assert row["Stealth_loss"] == "-" and row["d_thr"] == "-"
+    assert 0.0 <= row["T.top-1_real"] <= 1.0
+
+
 def test_summarize_all_attackers_pivot(attacked_setup):
-    """Cross-setup gather + pivot table (paper Table 1 layout,
-    ref projector_based_attack.py:577-614). Runs after the per-setup
-    stats exist (previous test)."""
+    """Cross-setup gather + pivot table over ALL THREE attackers (paper
+    Table 1 layout, ref projector_based_attack.py:577-614). Runs after
+    the per-setup stats exist (previous tests)."""
     from spaa_tpu.attack import summarize_all_attackers
     root, sim, cfg = attacked_setup
     if not glob.glob(join(root, "setups/e2e/ret/**/stats.txt",),
                      recursive=True):
         pytest.skip("per-setup stats not generated")
-    table, pivot = summarize_all_attackers(["SPAA"], root, ["e2e"])
-    assert len(table) >= 1
+    attackers = ["SPAA"]
+    for name, pat in [("PerC-AL+CompenNet++", "PerC-AL+CompenNet++*"),
+                      ("One-pixel_DE", "One-pixel_DE")]:
+        if glob.glob(join(root, "setups/e2e/ret", pat, "stats.txt")):
+            attackers.append(name)
+    table, pivot = summarize_all_attackers(attackers, root, ["e2e"])
+    assert len(table) >= len(attackers)
     assert "T.top-1_real" in pivot.columns
     names = list(pivot.index.names)
     assert names == ["Attacker", "d_thr", "Stealth_loss", "Classifier"]
     assert os.path.exists(join(root, "setups/stats_all.txt"))
+    if len(attackers) == 3:  # one pivot row per attacker config
+        assert len(pivot) >= 3

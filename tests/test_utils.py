@@ -104,3 +104,66 @@ def test_sim_procams_capture_consistency(tmp_path):
     cam_live = sim.capture(prj)
     # png quantization only
     assert np.abs(cam_saved - cam_live).max() < 2.5 / 255.0
+
+
+def test_number_patterns_and_sync_test(tmp_path):
+    """Numbers sync-test patterns (ref main.py:52-61): generated, ordered,
+    distinguishable; sync_test projects+captures them through a ProCams."""
+    from spaa_tpu.utils.imgproc_host import create_number_pattern
+    from spaa_tpu.utils.procams import sync_test
+    from spaa_tpu.utils.sim_procams import DEFAULT_SIM_SETUP_INFO, SimProCams
+
+    pats = create_number_pattern(64, 48, count=5)
+    assert pats.shape == (5, 48, 64, 3)
+    assert pats.min() >= 0.0 and pats.max() <= 1.0
+    # each pattern differs from every other (digits are distinguishable)
+    for i in range(5):
+        for j in range(i + 1, 5):
+            assert np.abs(pats[i] - pats[j]).max() > 0.1
+
+    info = dict(DEFAULT_SIM_SETUP_INFO)
+    info.update(prj_im_sz=[64, 64], cam_im_sz=[64, 48])
+    sim = SimProCams(info)
+    root = str(tmp_path)
+    cap = sync_test(sim, root, count=3)
+    import glob
+    assert len(glob.glob(join(root, "prj_share/numbers/*.png"))) == 3
+    assert len(glob.glob(join(cap, "*.png"))) == 3
+
+
+def test_make_grid_transposed_layout():
+    from spaa_tpu.utils.imgproc_host import make_grid, make_grid_transposed
+    ims = np.arange(6, dtype=np.float32).reshape(6, 1, 1, 1) \
+        * np.ones((6, 2, 3, 1), np.float32)
+    g = make_grid_transposed(ims, nrow=2, padding=0)
+    # column-major: image k at (row k%2, col k//2)
+    assert g.shape == (4, 9, 1)
+    assert g[0, 0, 0] == 0 and g[2, 0, 0] == 1
+    assert g[0, 3, 0] == 2 and g[2, 3, 0] == 3
+    # row-major counterpart differs
+    g2 = make_grid(ims, nrow=3, padding=0)
+    assert g2[0, 3, 0] == 1
+
+
+def test_vis_pcnet_process_montage(tmp_path):
+    """vis_pcnet_process (ref utils.py:239-256): builds the 8-panel
+    intermediate-results montage headlessly."""
+    import jax
+    import jax.numpy as jnp
+    from spaa_tpu.models import PCNet
+    from spaa_tpu.utils.vis import vis_pcnet_process
+
+    rng = np.random.default_rng(0)
+    cam_hw, prj_hw = (24, 32), (16, 16)
+    model = PCNet(out_size=cam_hw)
+    mask = np.ones((*cam_hw, 1), np.float32)
+    scene = rng.random((1, *cam_hw, 3)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, *prj_hw, 3)), jnp.asarray(scene),
+                        jnp.asarray(mask))["params"]
+    prj = rng.random((1, *prj_hw, 3)).astype(np.float32)
+    train = rng.random((1, *cam_hw, 3)).astype(np.float32)
+    montage = vis_pcnet_process(model, params, prj, scene, train, mask)
+    # 8 panels in a 2-row transposed grid at camera size + 5px padding
+    assert montage.shape == (2 * 24 + 3 * 5, 4 * 32 + 5 * 5, 3)
+    assert np.isfinite(montage).all()

@@ -4,7 +4,8 @@ NOTE: on the axon-tunneled TPU backend `block_until_ready` returns before
 execution completes; every timing here forces a device->host materialization
 of one output element instead.
 """
-import time, sys
+import os, time, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np, jax, jax.numpy as jnp
 
 def force(x):
