@@ -160,20 +160,25 @@ def _build(log):
                        CP_SZ).astype(jnp.float32)
 
         # the real sweep layout (orchestrate._run_spaa_sweep): per config
-        # 10 targeted + 1 untargeted; stealth weights and d_thr per sample
+        # 10 targeted + 1 untargeted; stealth weights and d_thr per
+        # sample; camdE-active configs last so the CIEDE2000 chain runs on
+        # the static (44, 132) slice exactly like production
         target_idx = jnp.tile(jnp.arange(11, dtype=jnp.int32) * 37 % 1000,
                               N_CONFIGS)
         targeted = jnp.tile(jnp.asarray([True] * 10 + [False]), N_CONFIGS)
-        wcfg = jnp.asarray([[0.0, 1.0, 0.0], [0.0, 0.0, 1.0],
-                            [0.0, 1.0, 1.0]])       # caml2/camdE/camdE_caml2
-        weights = jnp.repeat(jnp.tile(wcfg, (4, 1)), 11, axis=0)
+        wcfg = jnp.asarray([[0.0, 1.0, 0.0]] * 4      # caml2 x 4 d_thr
+                           + [[0.0, 0.0, 1.0]] * 4    # camdE
+                           + [[0.0, 1.0, 1.0]] * 4)   # camdE_caml2
+        weights = jnp.repeat(wcfg, 11, axis=0)
         d_thr = jnp.repeat(jnp.asarray([5.0, 7.0, 9.0, 11.0] * 3), 11)
+        camde_range = (4 * 11, BATCH)
         prj_init = jnp.full((BATCH, *PRJ_HW, 3), 0.5)
 
         fn = jax.jit(lambda st, cp, p0, ti, tg, w, dt, _f=logits_fn:
                      spaa_attack_batched(pcnet_apply, _f, st, cp,
                                          jnp.asarray(cam_scene), p0,
-                                         ti, tg, w, dt, SpaaConfig()))
+                                         ti, tg, w, dt,
+                                         SpaaConfig(camde_range=camde_range)))
         args = (pcnet_state, cparams, prj_init, target_idx, targeted,
                 weights, d_thr)
         t0 = time.time()

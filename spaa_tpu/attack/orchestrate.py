@@ -331,9 +331,16 @@ def _run_spaa_sweep(cfg, trained, classifier, cam_scene, target_idx,
                                cp_sz).astype(jnp.float32)
 
     configs = [(sl, d) for sl in cfg.stealth_losses for d in cfg.d_threshes]
+    # camdE-active configs last (stable sort): the CIEDE2000 chain — the
+    # most expensive color term — then runs on one static contiguous batch
+    # slice instead of the whole batch (SpaaConfig.camde_range; bitwise
+    # identical outputs, the skipped samples had weight 0)
+    configs.sort(key=lambda c: stealth_weights(c[0])[2] > 0)
     n = len(target_idx)
     per_cfg = n + 1  # 10 targeted + 1 untargeted
     b = len(configs) * per_cfg
+    n_camde = sum(1 for sl, _ in configs if stealth_weights(sl)[2] > 0)
+    camde_range = ((len(configs) - n_camde) * per_cfg, b)
 
     ph, pw = setup_info["prj_im_sz"][1], setup_info["prj_im_sz"][0]
     prj_init = jnp.full((b, ph, pw, 3), float(setup_info["prj_brightness"]))
@@ -350,7 +357,8 @@ def _run_spaa_sweep(cfg, trained, classifier, cam_scene, target_idx,
         w[s:s + per_cfg] = stealth_weights(sl)
         dt[s:s + per_cfg] = float(d)
 
-    spaa_cfg = SpaaConfig(iters=int(cfg.get("attack_iters", 50)))
+    spaa_cfg = SpaaConfig(iters=int(cfg.get("attack_iters", 50)),
+                          camde_range=camde_range)
     cam_best, prj_best = spaa_attack_auto(
         pcnet_apply, logits_fn, pcnet_state, clf_params,
         jnp.asarray(cam_scene), prj_init, jnp.asarray(tgt),

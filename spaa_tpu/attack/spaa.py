@@ -42,12 +42,21 @@ from spaa_tpu.ops.color import ciede2000_diff, rgb2lab_diff
 
 class SpaaConfig(NamedTuple):
     """Static attack hyper-parameters (SPAA Algorithm 1; values
-    ref ``projector_based_attack.py:243-258``)."""
+    ref ``projector_based_attack.py:243-258``).
+
+    ``camde_range``: optional static (lo, hi) batch slice on which the
+    CIEDE2000 term is computed. In the fused sweep the per-sample stealth
+    weights come from a static config grid, so samples with camdE weight
+    0 are known at trace time — skipping them cuts the most expensive
+    color chain to the active slice with bitwise-identical outputs (the
+    skipped samples contributed exactly 0·camdE before). None = full
+    batch."""
     iters: int = 50
     adv_lr: float = 2.0      # β1: adversarial step size
     col_lr: float = 1.0      # β2: stealthiness step size
     adv_w: float = 1.0
     p_thresh: float = 0.9
+    camde_range: Optional[tuple] = None
 
 
 def stealth_weights(stealth_loss: str):
@@ -153,7 +162,10 @@ def _spaa_body(pcnet_apply, logits_fn, pcnet_state, clf_params, cam_scene,
     branch only)."""
     b = im_gray.shape[0]
     cam_scene_b = jnp.broadcast_to(cam_scene, (b,) + cam_scene.shape[1:])
-    scene_lab = rgb2lab_diff(cam_scene_b)
+    # Lab on the single scene image, broadcast after: rgb2lab is
+    # elementwise, so f(broadcast(x)) == broadcast(f(x)) bitwise — and the
+    # whole chain runs on 1 image instead of B copies every iteration
+    scene_lab1 = rgb2lab_diff(cam_scene)
     arange_b = jnp.arange(b)
     tgt_sign = jnp.where(targeted, -1.0, 1.0)
     prj_adv, prj_best, cam_best, col_best = state
@@ -170,11 +182,22 @@ def _spaa_body(pcnet_apply, logits_fn, pcnet_state, clf_params, cam_scene,
         cfg.adv_w * tgt_sign / b)
     g_adv_cam, = vjp_clf(adv_raw_cot)
 
-    # color losses that flow through the camera image
+    # color losses that flow through the camera image; caml2 is computed
+    # for the FULL batch (it also feeds mask_high_pert below), camdE only
+    # on the statically camdE-active slice (see SpaaConfig.camde_range)
+    lo, hi = cfg.camde_range if cfg.camde_range is not None else (0, b)
+
     def col_cam_fn(c):
         caml2 = _per_sample_l2(cam_scene_b - c)
-        camde = jnp.mean(ciede2000_diff(rgb2lab_diff(c), scene_lab),
-                         axis=(1, 2))
+        if hi > lo:
+            sub_lab = jnp.broadcast_to(scene_lab1,
+                                       (hi - lo,) + scene_lab1.shape[1:])
+            camde_sub = jnp.mean(
+                ciede2000_diff(rgb2lab_diff(c[lo:hi]), sub_lab),
+                axis=(1, 2))
+            camde = jnp.zeros((b,), camde_sub.dtype).at[lo:hi].set(camde_sub)
+        else:
+            camde = jnp.zeros((b,), c.dtype)
         col_cam_batch = weights[:, 1] * caml2 + weights[:, 2] * camde
         return jnp.mean(col_cam_batch), (caml2, col_cam_batch)
 

@@ -178,6 +178,27 @@ def test_perc_al_digital_runs():
     assert np.isfinite(np.asarray(out2)).all()
 
 
+def test_spaa_camde_range_is_exact():
+    """Restricting the CIEDE2000 term to the statically camdE-active batch
+    slice (SpaaConfig.camde_range) must be bitwise-equivalent to computing
+    it everywhere when the out-of-range samples carry camdE weight 0."""
+    args = _setup_state()
+    (pcnet_apply, logits_fn, pc_state, cl_params, cam_scene, _, prj0,
+     target_idx, targeted, _, d_thr) = args
+    # samples 0-1: caml2 only; samples 2-4: camdE-active
+    w = jnp.asarray([[0.0, 1.0, 0.0]] * 2 + [[0.0, 1.0, 1.0]] * 3)
+    full = SpaaConfig(iters=5)
+    ranged = SpaaConfig(iters=5, camde_range=(2, B))
+    outs_full = spaa_attack_stepped(pcnet_apply, logits_fn, pc_state,
+                                    cl_params, cam_scene, prj0, target_idx,
+                                    targeted, w, d_thr, full)
+    outs_rng = spaa_attack_stepped(pcnet_apply, logits_fn, pc_state,
+                                   cl_params, cam_scene, prj0, target_idx,
+                                   targeted, w, d_thr, ranged)
+    for a, b_ in zip(outs_full, outs_rng):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
 def test_percal_fused_batch_matches_sequential_runs():
     """The fused targeted+untargeted PerC-AL batch (one compiled program,
     used by orchestrate._run_percal_sweep) must reproduce the reference
