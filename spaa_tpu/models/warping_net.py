@@ -101,18 +101,32 @@ class WarpingNet(nn.Module):
         return self.fine_grid()
 
 
-def affine_from_corners(mask_corners) -> jnp.ndarray:
+def affine_from_corners(mask_corners, inverse: bool = False) -> jnp.ndarray:
     """Initial affine from the direct-light mask bbox corners.
 
     Replaces the reference's ``cv.getAffineTransform(dst, src)`` call
     (``train_network.py:543-546``): solves the 2x3 affine mapping the first
     three bbox corners (in [-1,1] grid coords) to the canonical corners
     [(-1,-1), (1,-1), (1,1)] — grid_sample is an inverse warp, so src/dst
-    are swapped exactly as in the reference.
+    are swapped exactly as in the reference. This is the correct init for
+    PCNet's WarpingNet (camera-sized output sampling the projector image).
+
+    ``inverse=True`` returns the opposite map (canonical → mask corners):
+    the correct init for CompenNet++'s WarpingNet, whose projector-sized
+    output samples the CAMERA image (each projector pixel reads the camera
+    location it lands on). The reference initializes both models with the
+    same forward matrix (``train_network.py:655-663`` is a copy of the
+    PCNet block); with that init most of the CompenNet++ sampling grid
+    falls outside the camera frame, the grid gradient dies in the
+    zero-padding region, and compensation converges to predicting the
+    batch mean — a silent quality failure reproduced in our simulator.
+    See PARITY.md "Known deviations".
     """
     import numpy as np
     dst = np.asarray(mask_corners[0:3], np.float64)           # in cam coords
     src = np.array([[-1, -1], [1, -1], [1, 1]], np.float64)   # canonical
+    if inverse:
+        dst, src = src, dst
     # solve A @ [x, y, 1]^T = src for each of the 3 correspondences
     m = np.concatenate([dst, np.ones((3, 1))], axis=1)        # [3,3]
     aff = np.linalg.solve(m, src).T                           # [2,3]

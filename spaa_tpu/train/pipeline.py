@@ -81,11 +81,15 @@ def _make_curve_logger(cfg, data_root):
     return vis.CurveLogger(path)
 
 
-def _set_affine(params: dict, mask_corners) -> dict:
+def _set_affine(params: dict, mask_corners, inverse: bool = False) -> dict:
     """Initialize WarpingNet's affine from the mask bbox
-    (ref ``train_network.py:543-547``)."""
+    (ref ``train_network.py:543-547``). ``inverse=True`` for CompenNet++,
+    whose warp samples the camera image from projector space — see
+    ``affine_from_corners`` for why the reference's shared init is a
+    silent quality bug there."""
     params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy tree
-    params["warping_net"]["affine_mat"] = affine_from_corners(mask_corners)
+    params["warping_net"]["affine_mat"] = affine_from_corners(
+        mask_corners, inverse=inverse)
     return params
 
 
@@ -315,7 +319,11 @@ def train_eval_compennet_pp(cfg_default):
                     params = host_init(lambda: model.init(
                         jax.random.PRNGKey(0), jnp.zeros(cam_hw3),
                         jnp.zeros(cam_hw3))["params"])
-                    params = _set_affine(params, data["mask_corners"])
+                    # inverse map: CompenNet++ samples the CAMERA image
+                    # from projector space (deliberate fix of the
+                    # reference's copied PCNet init, see affine_from_corners)
+                    params = _set_affine(params, data["mask_corners"],
+                                         inverse=True)
                     params["compen_net"] = compen_params  # pretrained splice
 
                     def apply_fn(p, cam, scene):

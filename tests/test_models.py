@@ -122,3 +122,17 @@ def test_pcnet_forward_and_grads(rng):
                       method=PCNet.simplify_cache)
     out2 = net.apply({"params": params}, prj, scene, mask, cache=cache)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
+
+
+def test_classifier_chunked_classify_matches_unchunked(rng):
+    """Large batches run in fixed-size padded chunks (summarize's batched
+    re-inference); results must equal the single-program path."""
+    from spaa_tpu.models.classifiers import Classifier
+    clf = Classifier("resnet18", None)
+    im = rng.random((5, 60, 80, 3)).astype(np.float32)
+    import jax.numpy as jnp
+    _, p_chunked, idx_chunked = clf.classify(jnp.asarray(im), (48, 48),
+                                             chunk=2)
+    _, p_full, idx_full = clf.classify(jnp.asarray(im), (48, 48), chunk=64)
+    np.testing.assert_allclose(p_chunked, p_full, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(idx_chunked[:, 0], idx_full[:, 0])

@@ -76,3 +76,27 @@ def test_train_eval_compennet_pp_runs(tiny_setup):
     trained, ret, _ = train_eval_compennet_pp(cfg)
     assert np.isfinite(ret.iloc[0]["PSNR"])
     assert trained.model.model_name == "CompenNet++"
+    # the inverse-affine init (see affine_from_corners docstring): the
+    # CompenNet++ warp samples the CAMERA image from projector space, so
+    # its initial affine must be the inverse of PCNet's (scale < 1 when
+    # the projection footprint is inside the camera frame). With the
+    # reference's copied forward init, most of the sampling grid lands
+    # outside the frame, grid gradients die in the zero padding, and
+    # compensation flatlines at the batch-mean predictor.
+    aff = np.asarray(trained.params["warping_net"]["affine_mat"])[0]
+    assert abs(aff[0, 0]) < 1.2 and abs(aff[1, 1]) < 1.2, aff
+
+
+def test_affine_from_corners_inverse_composes_to_identity():
+    from spaa_tpu.models import affine_from_corners
+    corners = [(-0.7, -0.6), (0.8, -0.55), (0.75, 0.7), (-0.65, 0.72)]
+    fwd = np.asarray(affine_from_corners(corners))[0]            # [2,3]
+    inv = np.asarray(affine_from_corners(corners, inverse=True))[0]
+    f3 = np.vstack([fwd, [0, 0, 1]])
+    i3 = np.vstack([inv, [0, 0, 1]])
+    np.testing.assert_allclose(f3 @ i3, np.eye(3), atol=1e-5)
+    # forward maps mask corner 0 -> canonical (-1,-1); inverse the reverse
+    np.testing.assert_allclose(f3 @ [-0.7, -0.6, 1.0], [-1, -1, 1],
+                               atol=1e-5)
+    np.testing.assert_allclose(i3 @ [-1, -1, 1.0], [-0.7, -0.6, 1],
+                               atol=1e-5)
