@@ -9,11 +9,13 @@ identical so results are comparable row-for-row.
 
 from __future__ import annotations
 
+import functools
 import itertools
 import os
 from os.path import join
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pandas as pd
@@ -21,25 +23,96 @@ import pandas as pd
 from spaa_tpu.attack.orchestrate import to_attacker_cfg_str
 from spaa_tpu.models.classifiers import Classifier, load_imagenet_labels
 from spaa_tpu.ops.image import center_crop, expand_4d, resize_area
-from spaa_tpu.ops.metrics import calc_img_dists, l2_norm
+from spaa_tpu.ops.metrics import (calc_img_dists, dists_from_per_sample,
+                                  l2_norm, per_sample_img_dists)
+
+
+def _as_float01(x):
+    """uint8 → float [0,1] on device (images travel to the device as
+    uint8: PNGs are 8-bit so the round-trip is lossless, and the
+    host→device transfer — the summarize bottleneck on a networked TPU
+    backend — shrinks 4x)."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0
+    return x
+
+
+@jax.jit
+def _stealth_metrics_jit(pa, gray, ci, cr, cs_b):
+    """One dispatch for a whole result cell's stealthiness metrics:
+    15 per-sample arrays (5 primitives x prj/infer/real pairs)."""
+    pa, ci, cr = _as_float01(pa), _as_float01(ci), _as_float01(cr)
+    return (per_sample_img_dists(pa, gray)
+            + per_sample_img_dists(ci, cs_b)
+            + per_sample_img_dists(cr, cs_b))
 from spaa_tpu.train.data import load_setup_info
 from spaa_tpu.utils.imgproc_host import (expand_border, insert_text,
                                          make_grid, to_pseudocolor)
 from spaa_tpu.utils.io import imread, imread_dir, save_imgs
 
 
-def attack_results(ret, t, imgnet_labels, im_gray, prj_adv, cam_scene,
-                   cam_infer, cam_real, prj_im_sz, cp_sz) -> np.ndarray:
-    """Five-panel annotated result montage for target ``t``
-    (ref ``projector_based_attack.py:362-414``)."""
-    prj_hw = (int(prj_im_sz[1]), int(prj_im_sz[0]))
-    cam_scene_cp = center_crop(jnp.asarray(cam_scene[0]), cp_sz)
-    cam_real_cp = center_crop(jnp.asarray(cam_real[t]), cp_sz)
-    cam_infer_cp = center_crop(jnp.asarray(cam_infer[t]), cp_sz)
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def _montage_panels_device(cam_scene, cam_infer, cam_real, prj_adv, im_gray,
+                           cp_sz, prj_hw):
+    """All device work for one result cell's montages in ONE dispatch:
+    crops, area-resizes, and the per-target L2 annotations for the whole
+    11-image stack (the per-target loop used to issue ~6 tiny dispatches
+    per montage — the summarize hotspot over a networked TPU backend)."""
+    cam_infer = _as_float01(cam_infer)
+    cam_real = _as_float01(cam_real)
+    prj_adv = _as_float01(prj_adv)
+    scene_cp = center_crop(cam_scene, cp_sz)                 # [1, ...]
+    infer_cp = center_crop(cam_infer, cp_sz)                 # [N, ...]
+    real_cp = center_crop(cam_real, cp_sz)
+    scene_rz = resize_area(scene_cp, prj_hw)[0]
+    infer_rz = resize_area(infer_cp, prj_hw)
+    real_rz = resize_area(real_cp, prj_hw)
 
-    scene_rz = np.asarray(resize_area(cam_scene_cp, prj_hw))
-    real_rz = np.asarray(resize_area(cam_real_cp, prj_hw))
-    infer_rz = np.asarray(resize_area(cam_infer_cp, prj_hw))
+    def per_sample_l2(x, y):
+        return jnp.mean(jnp.linalg.norm(x - y, axis=-1),
+                        axis=(1, 2)) * 255.0
+
+    prj_l2 = per_sample_l2(prj_adv, jnp.broadcast_to(im_gray,
+                                                     prj_adv.shape))
+    pred_l2 = per_sample_l2(infer_cp, jnp.broadcast_to(scene_cp,
+                                                       infer_cp.shape))
+    real_l2 = per_sample_l2(real_cp, jnp.broadcast_to(scene_cp,
+                                                      real_cp.shape))
+    return scene_rz, infer_rz, real_rz, prj_l2, pred_l2, real_l2
+
+
+def montage_panels(cam_scene, cam_infer, cam_real, prj_adv, im_gray,
+                   cp_sz, prj_im_sz):
+    """Host-side wrapper: one jitted call, numpy outputs."""
+    prj_hw = (int(prj_im_sz[1]), int(prj_im_sz[0]))
+    out = _montage_panels_device(jnp.asarray(cam_scene),
+                                 jnp.asarray(cam_infer),
+                                 jnp.asarray(cam_real),
+                                 jnp.asarray(prj_adv),
+                                 jnp.asarray(im_gray),
+                                 tuple(int(c) for c in cp_sz), prj_hw)
+    return tuple(np.asarray(o) for o in out)
+
+
+def attack_results(ret, t, imgnet_labels, im_gray, prj_adv, cam_scene,
+                   cam_infer, cam_real, prj_im_sz, cp_sz,
+                   panels=None) -> np.ndarray:
+    """Five-panel annotated result montage for target ``t``
+    (ref ``projector_based_attack.py:362-414``).
+
+    ``panels``: optional precomputed :func:`montage_panels` output for the
+    whole cell (summarize passes it so the per-target work is pure
+    host-side numpy/PIL)."""
+    prj_hw = (int(prj_im_sz[1]), int(prj_im_sz[0]))
+    if panels is None:
+        panels = montage_panels(cam_scene, cam_infer, cam_real, prj_adv,
+                                im_gray, cp_sz, prj_im_sz)
+    prj_adv = np.asarray(prj_adv)
+    if prj_adv.dtype == np.uint8:
+        prj_adv = prj_adv.astype(np.float32) / 255.0
+    scene_rz, infer_all, real_all, prj_l2s, pred_l2s, real_l2s = panels
+    real_rz = real_all[t]
+    infer_rz = infer_all[t]
 
     diff = np.abs(real_rz - scene_rz)
     diff = (diff - diff.min()) / max(diff.max() - diff.min(), 1e-12)
@@ -49,9 +122,9 @@ def attack_results(ret, t, imgnet_labels, im_gray, prj_adv, cam_scene,
                              real_rz, diff_color], 0),
                    nrow=5, padding=5, pad_value=1.0)
 
-    prj_l2 = l2_norm(jnp.asarray(prj_adv[t]), jnp.asarray(im_gray[0]))
-    pred_l2 = l2_norm(cam_infer_cp, cam_scene_cp)
-    real_l2 = l2_norm(cam_real_cp, cam_scene_cp)
+    prj_l2 = float(prj_l2s[t])
+    pred_l2 = float(pred_l2s[t])
+    real_l2 = float(real_l2s[t])
 
     # annotation geometry: the reference hardcodes coordinates for 256-px
     # panels (5-px padding → 261-px pitch); scale so other prj_im_sz keep
@@ -175,24 +248,30 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
                         print(f"No such folder/images: {folder} — skipping")
                         break
 
-                    cam_real = imread_dir(cam_real_path)
+                    # uint8 in host memory + over the wire (lossless: the
+                    # PNGs are 8-bit); device-side jitted fns convert
+                    cam_real = imread_dir(cam_real_path, as_uint8=True)
                     cells.append(dict(
                         stealth_loss=stealth_loss, d_thr=d_thr,
                         classifier_name=classifier_name, folder=folder,
-                        prj_adv=imread_dir(prj_adv_path), cam_real=cam_real,
-                        cam_infer=(imread_dir(cam_infer_path) if dl_based
-                                   else cam_real)))
+                        prj_adv=imread_dir(prj_adv_path, as_uint8=True),
+                        cam_real=cam_real,
+                        cam_infer=(imread_dir(cam_infer_path, as_uint8=True)
+                                   if dl_based else cam_real)))
 
         # ---- pass 2: one chunked classification batch per classifier --
+        # (uint8 stack: the pixels cross the host→device link at 1/4 the
+        # f32 size; Classifier.classify converts on device)
+        cam_scene_u8 = np.uint8(np.round(np.asarray(cam_scene) * 255.0))
         for classifier_name in classifier_names:
             sel = [c for c in cells if c["classifier_name"] == classifier_name]
             if not sel:
                 continue
             clf = Classifier(classifier_name, weights_dir, sort_results=True)
             stack = np.concatenate(
-                [cam_scene] + [np.concatenate([c["cam_infer"],
-                                               c["cam_real"]], 0)
-                               for c in sel], 0)
+                [cam_scene_u8] + [np.concatenate([c["cam_infer"],
+                                                  c["cam_real"]], 0)
+                                  for c in sel], 0)
             _, p_all, idx_all = clf(jnp.asarray(stack), cp_sz)
             scene_ret = (None, p_all[:1], idx_all[:1])
             ofs = 1
@@ -216,13 +295,23 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
         for c in cells:
             ret, prj_adv = c["ret"], c["prj_adv"]
             cam_infer, cam_real = c["cam_infer"], c["cam_real"]
+            # one device copy per cell, shared by the metrics dispatch and
+            # the montage-panel dispatch (uint8 over the wire)
+            pa_dev = jnp.asarray(prj_adv)
+            ci_dev = jnp.asarray(cam_infer)
+            cr_dev = jnp.asarray(cam_real)
 
-            def render(ret=ret, prj_adv=prj_adv, cam_infer=cam_infer,
-                       cam_real=cam_real, folder=c["folder"]):
+            def render(ret=ret, prj_adv=prj_adv, pa_dev=pa_dev,
+                       ci_dev=ci_dev, cr_dev=cr_dev, folder=c["folder"]):
+                # one device dispatch for the whole cell's panels; the
+                # per-target montage assembly below is pure numpy/PIL
+                panels = montage_panels(cam_scene, ci_dev, cr_dev,
+                                        pa_dev, im_gray, cp_sz,
+                                        setup_info["prj_im_sz"])
                 montage = [attack_results(ret, t, imagenet_labels, im_gray,
-                                          prj_adv, cam_scene, cam_infer,
-                                          cam_real, setup_info["prj_im_sz"],
-                                          cp_sz)
+                                          prj_adv, cam_scene, ci_dev,
+                                          cr_dev, setup_info["prj_im_sz"],
+                                          cp_sz, panels=panels)
                            for t in range(n + 1)]
                 save_imgs(np.stack(montage, 0),
                           join(setup_path, "ret", folder))
@@ -244,16 +333,24 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
             t1_untar_infer = int(ret["infer"][2][n, 0] != true_i)
             t1_untar_real = int(ret["real"][2][n, 0] != true_i)
 
+            # per-sample metrics for all three image pairs in ONE device
+            # dispatch; the targeted/untargeted/all blocks are host-side
+            # slice aggregates (the reference — and round 1 — re-ran the
+            # full bundle 9x per cell over the overlapping slices)
+            ci = center_crop(ci_dev, cp_sz)
+            cr = center_crop(cr_dev, cp_sz)
+            cs = center_crop(jnp.asarray(cam_scene), cp_sz)
+            gray = jnp.broadcast_to(jnp.asarray(im_gray), pa_dev.shape)
+            cs_b = jnp.broadcast_to(cs, ci.shape)
+            cell_vals = _stealth_metrics_jit(pa_dev, gray, ci, cr, cs_b)
+            prj_vals, infer_vals, real_vals = (cell_vals[0:5],
+                                               cell_vals[5:10],
+                                               cell_vals[10:15])
+
             def stealth_block(sl):
-                pa = jnp.asarray(prj_adv[sl])
-                ci = center_crop(jnp.asarray(cam_infer[sl]), cp_sz)
-                cr = center_crop(jnp.asarray(cam_real[sl]), cp_sz)
-                cs = center_crop(jnp.asarray(cam_scene), cp_sz)
-                gray = jnp.broadcast_to(jnp.asarray(im_gray), pa.shape)
-                cs_b = jnp.broadcast_to(cs, ci.shape)
-                return (list(calc_img_dists(pa, gray))
-                        + list(calc_img_dists(ci, cs_b))
-                        + list(calc_img_dists(cr, cs_b)))
+                return (list(dists_from_per_sample(prj_vals, sl))
+                        + list(dists_from_per_sample(infer_vals, sl))
+                        + list(dists_from_per_sample(real_vals, sl)))
 
             table.loc[len(table)] = [
                 setup_name, attacker_cfg_str, c["stealth_loss"], c["d_thr"],

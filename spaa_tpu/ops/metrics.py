@@ -34,6 +34,38 @@ def _metrics_device(x: jax.Array, y: jax.Array):
     return psnr, rmse, ssim_v, l2, linf, de
 
 
+@jax.jit
+def per_sample_img_dists(x: jax.Array, y: jax.Array):
+    """Per-sample metric primitives, each [N]: (mse, ssim, l2, linf, dE).
+
+    Slice aggregates are linear in these (PSNR/RMSE derive from the mean
+    mse), so callers that need metrics over several overlapping batch
+    slices — summarize's targeted/untargeted/all blocks — can run ONE
+    device dispatch per image stack and combine on the host instead of
+    re-running the bundle per slice."""
+    from spaa_tpu.ops.color import ciede2000_diff, rgb2lab_diff
+    mse = jnp.mean((x - y) ** 2, axis=(1, 2, 3))
+    ssim_s = _ssim_jnp(x, y, size_average=False)
+    diff = x - y
+    l2 = jnp.mean(jnp.linalg.norm(diff, axis=-1), axis=(1, 2)) * 255.0
+    linf = jnp.mean(jnp.max(jnp.abs(diff), axis=-1), axis=(1, 2)) * 255.0
+    de = jnp.mean(ciede2000_diff(rgb2lab_diff(x), rgb2lab_diff(y)),
+                  axis=(1, 2))
+    return mse, ssim_s, l2, linf, de
+
+
+def dists_from_per_sample(vals, sl=slice(None)):
+    """(PSNR, RMSE, SSIM, L2, L∞, ΔE) floats for a slice of
+    :func:`per_sample_img_dists` outputs (host-side arithmetic)."""
+    import numpy as np
+    mse, ssim_s, l2, linf, de = (np.asarray(v)[sl] for v in vals)
+    m = float(mse.mean())
+    with np.errstate(divide="ignore"):
+        psnr_v = float(10.0 * np.log10(1.0 / m)) if m > 0 else float("inf")
+    return (psnr_v, float(np.sqrt(m * 3.0)), float(ssim_s.mean()),
+            float(l2.mean()), float(linf.mean()), float(de.mean()))
+
+
 def calc_img_dists(x: jax.Array, y: jax.Array):
     """Compute (PSNR, RMSE, SSIM, L2, L∞, ΔE) as python floats.
     Ref ``utils.py:420-423``; inputs NHWC (or HWC) in [0, 1]."""

@@ -27,13 +27,17 @@ def imread(filename: str) -> np.ndarray:
 
 def imread_dir(img_dir: str, size: Optional[Sequence[int]] = None,
                index: Optional[Sequence[int]] = None, gray_scale: bool = False,
-               normalize: bool = False, num_workers: int = 8) -> np.ndarray:
+               normalize: bool = False, num_workers: int = 8,
+               as_uint8: bool = False) -> np.ndarray:
     """Read a directory of images → NHWC float32 [0,1].
 
     Ref ``torch_imread_mt`` (``utils.py:120-142``): sorted listing, optional
     subset ``index``, optional (h, w) resize, optional MATLAB-weights
     grayscale, optional [-1,1] normalize.
-    """
+
+    ``as_uint8=True`` returns the raw uint8 pixels instead (lossless —
+    PNGs are 8-bit; float = uint8/255): 4x less host→device traffic on
+    networked TPU backends, convert on device."""
     names = sorted(os.listdir(img_dir))
     if index is not None:
         names = [names[i] for i in index]
@@ -48,6 +52,8 @@ def imread_dir(img_dir: str, size: Optional[Sequence[int]] = None,
 
     with ThreadPoolExecutor(max_workers=num_workers) as ex:
         imgs = list(ex.map(_load, paths))
+    if as_uint8 and not gray_scale and not normalize:
+        return np.stack(imgs, 0)
     arr = np.stack(imgs, 0).astype(np.float32) / 255.0
     if gray_scale:
         arr = (0.2989 * arr[..., 0] + 0.5870 * arr[..., 1]

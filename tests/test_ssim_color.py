@@ -130,3 +130,19 @@ def test_gradients_through_color_loss(rng):
     g = jax.grad(loss)(x)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_per_sample_dists_aggregate_to_bundle(rng):
+    """per_sample_img_dists + dists_from_per_sample must reproduce
+    calc_img_dists for any batch slice (summarize computes the
+    targeted/untargeted/all blocks this way from one dispatch)."""
+    from spaa_tpu.ops.metrics import (calc_img_dists, dists_from_per_sample,
+                                      per_sample_img_dists)
+    import jax.numpy as jnp
+    x = jnp.asarray(rng.random((5, 24, 32, 3)).astype(np.float32))
+    y = jnp.asarray(rng.random((5, 24, 32, 3)).astype(np.float32))
+    vals = per_sample_img_dists(x, y)
+    for sl in [slice(0, 5), slice(0, 3), slice(3, 4)]:
+        a = dists_from_per_sample(vals, sl)
+        b = calc_img_dists(x[sl], y[sl])
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
