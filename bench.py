@@ -191,25 +191,39 @@ def _build(log):
 
 def _bench_infer_fps(pcnet_apply, pcnet_state, log, force):
     """PCNet inference FPS at the reference's attack batch (11 images) on
-    the production simplified path (north-star metric, BASELINE.md)."""
+    the production simplified path (north-star metric, BASELINE.md).
+
+    The ``reps`` forwards run inside ONE jitted ``lax.scan`` program
+    (inputs perturbed per step so CSE can't collapse them): measuring
+    with per-call dispatches conflates device throughput with the host
+    link's round-trip latency, which on the tunneled axon backend varies
+    by an order of magnitude run-to-run."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     prj = jnp.asarray(np.random.default_rng(2).random(
         (11, *PRJ_HW, 3), np.float32))
-    fn = jax.jit(pcnet_apply)
-    force([fn(pcnet_state, prj)])  # compile
-    best = float("inf")
     reps = 20
+
+    @jax.jit
+    def chained(st, prj):
+        def body(acc, i):
+            out = pcnet_apply(st, prj + i * 1e-8)
+            return acc + jnp.mean(out), ()
+        acc, _ = jax.lax.scan(body, 0.0,
+                              jnp.arange(reps, dtype=jnp.float32))
+        return acc
+
+    force([chained(pcnet_state, prj)])  # compile
+    best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        outs = [fn(pcnet_state, prj) for _ in range(reps)]
-        force([outs[-1]])
+        force([chained(pcnet_state, prj)])
         best = min(best, (time.time() - t0) / reps)
     fps = 11 / best
     log(f"[bench] pcnet inference: {best * 1e3:.2f} ms / 11-image batch "
-        f"= {fps:.0f} FPS")
+        f"= {fps:.0f} FPS (20 chained forwards, one program)")
     return fps
 
 
