@@ -38,6 +38,10 @@ def main() -> None:
                     help="subset of setups (default: all found)")
     ap.add_argument("--sim", action="store_true",
                     help="generate a synthetic setup and run hardware-free")
+    ap.add_argument("--num-sim-setups", type=int, default=1,
+                    help="with --sim: number of synthetic object setups "
+                         "(distinct scenes/seeds, like the reference's 13 "
+                         "benchmark objects)")
     ap.add_argument("--load-pretrained", action="store_true",
                     help="load cached checkpoints instead of retraining")
     ap.add_argument("--recreate-stats-and-imgs", action="store_true")
@@ -53,16 +57,25 @@ def main() -> None:
 
     data_root = args.data_root
     procams = None
+    sim_procams = {}
     if args.sim:
         from spaa_tpu.utils.sim_procams import (DEFAULT_SIM_SETUP_INFO,
                                                 SimProCams)
         data_root = join(args.data_root, "sim_benchmark")
-        procams = SimProCams(dict(DEFAULT_SIM_SETUP_INFO))
-        if not os.path.isdir(join(data_root, "setups", "sim_setup")):
-            print(f"Generating synthetic benchmark setup under {data_root}")
-            procams.make_setup(data_root, "sim_setup", num_train=500,
-                               num_test=200)
-        setup_list = ["sim_setup"]
+        setup_list = []
+        for k in range(int(args.num_sim_setups)):
+            name = "sim_setup" if k == 0 else f"sim_setup_{k + 1}"
+            # each synthetic "object" is its own ProCams world (scene
+            # albedo/geometry from the per-setup seed) — the hardware
+            # stand-in must match at capture AND replay time
+            sim_procams[name] = SimProCams(dict(DEFAULT_SIM_SETUP_INFO),
+                                           seed=7 + 13 * k)
+            if not os.path.isdir(join(data_root, "setups", name)):
+                print(f"Generating synthetic setup {name} under {data_root}")
+                sim_procams[name].make_setup(data_root, name, num_train=500,
+                                             num_test=200)
+            setup_list.append(name)
+        procams = sim_procams[setup_list[0]]
     else:
         setups_dir = join(data_root, "setups")
         found = sorted(os.listdir(setups_dir)) if os.path.isdir(setups_dir) \
@@ -79,20 +92,26 @@ def main() -> None:
     if args.sim:
         attackers.append("One-pixel_DE")  # simulator provides the capture loop
 
+    def _procams_for(s):
+        return sim_procams.get(s, procams)
+
     for attacker_name in attackers:
         cfg = get_attacker_cfg(attacker_name, data_root, setup_list,
                                load_pretrained=args.load_pretrained)
         if attacker_name == "One-pixel_DE":
             for s in setup_list:   # one setup at a time (hardware loop)
                 c1 = get_attacker_cfg(attacker_name, data_root, [s])
-                run_projector_based_attack(c1, procams=procams)
+                run_projector_based_attack(c1, procams=_procams_for(s))
         else:
+            # SPAA/PerC-AL attack through the frozen simulator model only;
+            # procams matters at replay, where each sim setup is its own
+            # deterministic "world"
             run_projector_based_attack(cfg, procams=procams)
             if procams is not None:
                 from spaa_tpu.attack import project_capture_real_attack
                 for s in setup_list:
                     c1 = get_attacker_cfg(attacker_name, data_root, [s])
-                    project_capture_real_attack(c1, procams)
+                    project_capture_real_attack(c1, _procams_for(s))
 
     df = summarize_all_attackers(attackers, data_root, setup_list,
                                  recreate_stats_and_imgs=True)

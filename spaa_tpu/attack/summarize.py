@@ -24,7 +24,7 @@ from spaa_tpu.attack.orchestrate import to_attacker_cfg_str
 from spaa_tpu.models.classifiers import Classifier, load_imagenet_labels
 from spaa_tpu.ops.image import center_crop, expand_4d, resize_area
 from spaa_tpu.ops.metrics import (calc_img_dists, dists_from_per_sample,
-                                  l2_norm, per_sample_img_dists)
+                                  per_sample_img_dists)
 
 
 def _as_float01(x):
@@ -249,15 +249,20 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
                         break
 
                     # uint8 in host memory + over the wire (lossless: the
-                    # PNGs are 8-bit); device-side jitted fns convert
+                    # PNGs are 8-bit); ONE device put per image stack,
+                    # shared by classification, metrics and montage panels
+                    # (device-side jitted fns convert to float)
                     cam_real = imread_dir(cam_real_path, as_uint8=True)
+                    prj_adv = imread_dir(prj_adv_path, as_uint8=True)
+                    cr_dev = jnp.asarray(cam_real)
+                    ci_dev = (jnp.asarray(imread_dir(cam_infer_path,
+                                                     as_uint8=True))
+                              if dl_based else cr_dev)
                     cells.append(dict(
                         stealth_loss=stealth_loss, d_thr=d_thr,
                         classifier_name=classifier_name, folder=folder,
-                        prj_adv=imread_dir(prj_adv_path, as_uint8=True),
-                        cam_real=cam_real,
-                        cam_infer=(imread_dir(cam_infer_path, as_uint8=True)
-                                   if dl_based else cam_real)))
+                        prj_adv=prj_adv, pa_dev=jnp.asarray(prj_adv),
+                        ci_dev=ci_dev, cr_dev=cr_dev))
 
         # ---- pass 2: one chunked classification batch per classifier --
         # (uint8 stack: the pixels cross the host→device link at 1/4 the
@@ -268,16 +273,16 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
             if not sel:
                 continue
             clf = Classifier(classifier_name, weights_dir, sort_results=True)
-            stack = np.concatenate(
-                [cam_scene_u8] + [np.concatenate([c["cam_infer"],
-                                                  c["cam_real"]], 0)
-                                  for c in sel], 0)
-            _, p_all, idx_all = clf(jnp.asarray(stack), cp_sz)
+            # device-side concat: every image already lives on device
+            stack = jnp.concatenate(
+                [jnp.asarray(cam_scene_u8)]
+                + [a for c in sel for a in (c["ci_dev"], c["cr_dev"])], 0)
+            _, p_all, idx_all = clf(stack, cp_sz)
             scene_ret = (None, p_all[:1], idx_all[:1])
             ofs = 1
             for c in sel:
-                ni = c["cam_infer"].shape[0]
-                nr = c["cam_real"].shape[0]
+                ni = c["ci_dev"].shape[0]
+                nr = c["cr_dev"].shape[0]
                 c["ret"] = {
                     "scene": scene_ret,
                     "infer": (None, p_all[ofs:ofs + ni],
@@ -294,12 +299,7 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
         futures = []
         for c in cells:
             ret, prj_adv = c["ret"], c["prj_adv"]
-            cam_infer, cam_real = c["cam_infer"], c["cam_real"]
-            # one device copy per cell, shared by the metrics dispatch and
-            # the montage-panel dispatch (uint8 over the wire)
-            pa_dev = jnp.asarray(prj_adv)
-            ci_dev = jnp.asarray(cam_infer)
-            cr_dev = jnp.asarray(cam_real)
+            pa_dev, ci_dev, cr_dev = c["pa_dev"], c["ci_dev"], c["cr_dev"]
 
             def render(ret=ret, prj_adv=prj_adv, pa_dev=pa_dev,
                        ci_dev=ci_dev, cr_dev=cr_dev, folder=c["folder"]):
