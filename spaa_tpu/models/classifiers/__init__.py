@@ -200,8 +200,12 @@ class Classifier:
         if im.dtype == jnp.uint8:
             im = im.astype(jnp.float32) / 255.0
         if im.ndim == 4 and im.shape[0] > chunk:
-            parts = []
             n = im.shape[0]
+            outs = []
+            # dispatch every chunk before materializing any result: the
+            # device queues them back-to-back, so on a networked backend
+            # the per-dispatch round-trip latency is paid once, not per
+            # chunk
             for s in range(0, n, chunk):
                 part = im[s:s + chunk]
                 if part.shape[0] < chunk:
@@ -209,8 +213,9 @@ class Classifier:
                     part = jnp.concatenate(
                         [part, jnp.zeros((pad,) + part.shape[1:],
                                          part.dtype)])
-                parts.append(np.asarray(self.logits(part, crop_sz)))
-            raw = jnp.asarray(np.concatenate(parts)[:n])
+                outs.append(self.logits(part, crop_sz))
+            raw = jnp.asarray(np.concatenate(
+                [np.asarray(o) for o in outs])[:n])
         else:
             raw = self.logits(im, crop_sz)
         p = jax.nn.softmax(raw, axis=1)
