@@ -167,3 +167,25 @@ def test_vis_pcnet_process_montage(tmp_path):
     # 8 panels in a 2-row transposed grid at camera size + 5px padding
     assert montage.shape == (2 * 24 + 3 * 5, 4 * 32 + 5 * 5, 3)
     assert np.isfinite(montage).all()
+
+
+def test_attack_results_standalone_montage():
+    """attack_results without precomputed panels (public API fallback):
+    builds the 5-panel annotated montage from raw arrays, uint8 or float."""
+    from spaa_tpu.attack.summarize import attack_results
+    rng = np.random.default_rng(2)
+    n, cam_hw, prj = 3, (24, 32), (16, 16)
+    cam_scene = rng.random((1, *cam_hw, 3)).astype(np.float32)
+    cam_infer = (rng.random((n, *cam_hw, 3)) * 255).astype(np.uint8)
+    cam_real = (rng.random((n, *cam_hw, 3)) * 255).astype(np.uint8)
+    prj_adv = (rng.random((n, *prj, 3)) * 255).astype(np.uint8)
+    im_gray = np.full((1, *prj, 3), 0.5, np.float32)
+    p = np.full((n, 10), 0.1)
+    idx = np.tile(np.arange(10), (n, 1))
+    ret = {"scene": (None, p[:1], idx[:1]),
+           "infer": (None, p, idx), "real": (None, p, idx)}
+    labels = {i: f"c{i}" for i in range(10)}
+    m = attack_results(ret, 1, labels, im_gray, prj_adv, cam_scene,
+                       cam_infer, cam_real, [prj[1], prj[0]], (20, 20))
+    assert m.ndim == 3 and m.shape[2] == 3
+    assert np.isfinite(m).all() and m.min() >= 0 and m.max() <= 1
