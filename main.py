@@ -104,6 +104,8 @@ def main() -> None:
             sync_test(procams, data_root)
             capture_setup_data(procams, data_root, setup_name)
         else:
+            from spaa_tpu.utils.procams import sync_test
+            sync_test(procams, data_root)   # exercises the same contract
             print("[sim] generating synthetic captures for the full setup")
             procams.make_setup(data_root, setup_name, num_train=500,
                                num_test=200)
