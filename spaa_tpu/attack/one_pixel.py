@@ -240,14 +240,19 @@ class ProjectorOnePixelAttacker:
         npop = popmul * len(bounds)
 
         def fitness(pop):
-            out = np.empty(pop.shape[0])
-            for i, x in enumerate(pop):          # serial: real captures
-                _, cam = self.perturb_project_capture(x, im, pixel_size)
-                raw, _, _ = classifier(cam, self.cp_sz)
-                pp = np.asarray(jax.nn.softmax(raw, axis=1))
-                out[i] = (1 - pp[0, target_idx]) if targeted_attack \
-                    else pp[0, target_idx]
-            return out
+            # captures are serial BY CONTRACT (one physical projection +
+            # camera frame per candidate), but classification is not: the
+            # whole generation's captures go through the classifier as one
+            # batch — identical per-sample logits (the zoo is frozen,
+            # BN in eval mode), one device dispatch per generation instead
+            # of popsize of them
+            cams = np.stack(
+                [self.perturb_project_capture(x, im, pixel_size)[1]
+                 for x in pop], 0)
+            raw, _, _ = classifier(cams, self.cp_sz)
+            pp = np.asarray(jax.nn.softmax(raw, axis=1))
+            return (1.0 - pp[:, target_idx]) if targeted_attack \
+                else pp[:, target_idx]
 
         def callback(best_x):
             _, cam = self.perturb_project_capture(best_x, im, pixel_size)
