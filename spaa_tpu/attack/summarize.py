@@ -38,9 +38,10 @@ def _as_float01(x):
 
 
 from spaa_tpu.train.data import load_setup_info
-from spaa_tpu.utils.imgproc_host import (expand_border, insert_text,
-                                         make_grid, to_pseudocolor)
+from spaa_tpu.utils.imgproc_host import (insert_texts, make_grid,
+                                         to_pseudocolor)
 from spaa_tpu.utils.io import imread, imread_dir, save_imgs
+from spaa_tpu.utils.xlsx import to_excel
 
 
 @jax.jit
@@ -59,17 +60,26 @@ def _panels_all_device(cam_scene, ci_all, cr_all, cp_sz, prj_hw):
     """Montage image panels for ALL cells in one dispatch: center-crop +
     area-resize of every infer/real capture, returned as uint8 (the
     truncation matches ``save_imgs``'s quantization exactly, so the final
-    montage PNG bytes for these panels are identical to the float path)."""
+    montage PNG bytes for the scene/infer/real panels are identical to the
+    float path). The 5th (normalized-difference pseudocolor) panel's input
+    is returned separately as a FLOAT map computed from the float-resized
+    panels — deriving it from the quantized uint8 panels would add 1/255
+    quantization noise to the difference."""
     ci = _as_float01(ci_all)
     cr = _as_float01(cr_all)
     scene_rz = resize_area(center_crop(cam_scene, cp_sz), prj_hw)[0]
     infer_rz = resize_area(center_crop(ci, cp_sz), prj_hw)
     real_rz = resize_area(center_crop(cr, cp_sz), prj_hw)
+    # mean-channel |real - scene| per sample; attack_results' float path
+    # (normalize, mean over channels, to_pseudocolor) reduces to an affine
+    # transform of this map and to_pseudocolor re-normalizes, so rendering
+    # from this map matches the float path up to fp rounding
+    diff_map = jnp.mean(jnp.abs(real_rz - scene_rz[None]), axis=-1)
 
     def to_u8(x):
         return (jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
-    return to_u8(scene_rz), to_u8(infer_rz), to_u8(real_rz)
+    return to_u8(scene_rz), to_u8(infer_rz), to_u8(real_rz), diff_map
 
 
 @functools.partial(jax.jit, static_argnums=(5, 6))
@@ -131,13 +141,19 @@ def attack_results(ret, t, imgnet_labels, im_gray, prj_adv, cam_scene,
     prj_adv = np.asarray(prj_adv)
     if prj_adv.dtype == np.uint8:
         prj_adv = prj_adv.astype(np.float32) / 255.0
-    scene_rz, infer_all, real_all, prj_l2s, pred_l2s, real_l2s = panels
+    scene_rz, infer_all, real_all, prj_l2s, pred_l2s, real_l2s = panels[:6]
+    diff_maps = panels[6] if len(panels) > 6 else None
     real_rz = real_all[t]
     infer_rz = infer_all[t]
 
-    diff = np.abs(real_rz - scene_rz)
-    diff = (diff - diff.min()) / max(diff.max() - diff.min(), 1e-12)
-    diff_color = to_pseudocolor(diff.mean(-1))
+    if diff_maps is not None:
+        # float diff map precomputed on device from the float panels
+        # (to_pseudocolor normalizes internally)
+        diff_color = to_pseudocolor(diff_maps[t])
+    else:
+        diff = np.abs(real_rz - scene_rz)
+        diff = (diff - diff.min()) / max(diff.max() - diff.min(), 1e-12)
+        diff_color = to_pseudocolor(diff.mean(-1))
 
     im = make_grid(np.stack([scene_rz, np.asarray(prj_adv[t]), infer_rz,
                              real_rz, diff_color], 0),
@@ -149,42 +165,52 @@ def attack_results(ret, t, imgnet_labels, im_gray, prj_adv, cam_scene,
 
     # annotation geometry: the reference hardcodes coordinates for 256-px
     # panels (5-px padding → 261-px pitch); scale so other prj_im_sz keep
-    # the labels on their panels (identical output at 256)
+    # the labels on their panels (identical output at 256). All labels are
+    # drawn in ONE PIL pass (insert_texts) — the per-label float↔PIL
+    # round-trips were the host hotspot of the 396-montage SPAA summarize.
     sx = (prj_hw[1] + 5) / 261.0
     fsz = max(int(round(14 * prj_hw[1] / 256.0)), 8)
     row2 = fsz
+    black = (0, 0, 0)
 
-    def txt(img, s, x, y, scale_x=True):
-        return insert_text(img, s, (int(round(x * sx)) if scale_x else x, y),
-                           fsz)
+    def at(x, y):
+        return (int(round(x * sx)), y)
 
-    im = expand_border(im, (0, max(int(round(26 * prj_hw[1] / 256.0)), 12),
-                            0, 0))
-    im = txt(im, f"Cam-captured scene ({t})", 70, 0)
-    im = txt(im, f"{imgnet_labels[int(ret['scene'][2][0, 0])]} "
-                 f"({ret['scene'][1][0, 0]:.2f})", 5, row2)
-    im = txt(im, "Model inferred adversarial projection", 280, 0)
-    im = txt(im, f"L2={prj_l2:.2f}", 370, row2)
-    im = txt(im, "Model inferred cam-captured projection", 530, 0)
-    im = txt(im, f"{imgnet_labels[int(ret['infer'][2][t, 0])]} "
-                 f"({ret['infer'][1][t, 0]:.2f})", 530, row2)
-    im = txt(im, f"L2={pred_l2:.2f}", 720, row2)
-    im = txt(im, "Real cam-captured projection", 820, 0)
-    im = txt(im, f"{imgnet_labels[int(ret['real'][2][t, 0])]} "
-                 f"({ret['real'][1][t, 0]:.2f})", 790, row2)
-    im = txt(im, f"L2={real_l2:.2f}", 980, row2)
-    im = txt(im, "Normalized difference, i.e., 4th-1st", 1070, 0)
-    return im
+    labels = [
+        (f"Cam-captured scene ({t})", at(70, 0), black),
+        (f"{imgnet_labels[int(ret['scene'][2][0, 0])]} "
+         f"({ret['scene'][1][0, 0]:.2f})", at(5, row2), black),
+        ("Model inferred adversarial projection", at(280, 0), black),
+        (f"L2={prj_l2:.2f}", at(370, row2), black),
+        ("Model inferred cam-captured projection", at(530, 0), black),
+        (f"{imgnet_labels[int(ret['infer'][2][t, 0])]} "
+         f"({ret['infer'][1][t, 0]:.2f})", at(530, row2), black),
+        (f"L2={pred_l2:.2f}", at(720, row2), black),
+        ("Real cam-captured projection", at(820, 0), black),
+        (f"{imgnet_labels[int(ret['real'][2][t, 0])]} "
+         f"({ret['real'][1][t, 0]:.2f})", at(790, row2), black),
+        (f"L2={real_l2:.2f}", at(980, row2), black),
+        ("Normalized difference, i.e., 4th-1st", at(1070, 0), black),
+    ]
+    return insert_texts(
+        im, labels, fsz,
+        border=(0, max(int(round(26 * prj_hw[1] / 256.0)), 12), 0, 0))
 
 
 def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
                               weights_dir: Optional[str] = None,
                               stealth_losses=None, d_threshes=None,
-                              classifier_names=None) -> pd.DataFrame:
+                              classifier_names=None,
+                              recreate_imgs: bool = True) -> pd.DataFrame:
     """Per-setup stats table + montages (ref
     ``projector_based_attack.py:417-574``). The full (stealth × d_thr ×
     classifier) grid incl. '-' rows is scanned; missing result folders are
-    skipped with a notice, like the reference."""
+    skipped with a notice, like the reference.
+
+    ``recreate_imgs=False`` recomputes every stats row but skips montage
+    rendering for cells whose ret/ directory already holds all images (the
+    reference's ``recreate_stats_and_imgs=False`` spirit, applied at cell
+    granularity — montage writes dominate the summarize host time)."""
     assert attacker_name in ["SPAA", "PerC-AL+CompenNet++", "One-pixel_DE"]
     attacker_cfg_str, model_cfg_str = to_attacker_cfg_str(attacker_name)
     dl_based = attacker_name in ["SPAA", "PerC-AL+CompenNet++"]
@@ -212,8 +238,14 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
     classifier_names = classifier_names or ["inception_v3", "resnet18",
                                             "vgg16"]
 
-    table = pd.DataFrame(columns=columns)
+    # one fresh table per setup (ref ``projector_based_attack.py:448-451``):
+    # each setup's ret/<cfg>/stats.txt must contain exactly its own rows —
+    # accumulating across setups would double-count them when
+    # summarize_all_attackers concatenates the per-setup stats files.
+    setup_tables = []
     for setup_name in setup_list:
+        table = pd.DataFrame(columns=columns)
+        setup_tables.append(table)
         setup_path = join(data_root, "setups", setup_name)
         print(f"\nCalculating stats of [{attacker_name}] on [{setup_path}]")
         setup_info = load_setup_info(setup_path)
@@ -295,15 +327,18 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
         # seconds; everything below is a constant handful of dispatches
         # per (setup, attacker) regardless of how many cells exist.
         m = n + 1  # images per cell (10 targeted + 1 untargeted)
-        ok = [c for c in cells
-              if c["prj_adv"].shape[0] == m and c["cam_real"].shape[0] == m
-              and c["cam_infer"].shape[0] == m]
-        for c in cells:
-            if c not in ok:
+        complete = [c["prj_adv"].shape[0] == m and c["cam_real"].shape[0] == m
+                    and c["cam_infer"].shape[0] == m for c in cells]
+        for c, is_ok in zip(cells, complete):
+            if not is_ok:
                 print(f"Incomplete result cell (expected {m} images): "
                       f"{c['folder']} — skipping")
-        cells = ok
+        cells = [c for c, is_ok in zip(cells, complete) if is_ok]
         if not cells:
+            ret_path = join(setup_path, "ret", attacker_cfg_str)
+            os.makedirs(ret_path, exist_ok=True)
+            table.to_csv(join(ret_path, "stats.txt"), index=False,
+                         float_format="%.4f", sep="\t")
             continue
         pa_all = jnp.asarray(np.concatenate([c["prj_adv"] for c in cells]))
         ci_all = jnp.asarray(np.concatenate([c["cam_infer"] for c in cells]))
@@ -332,7 +367,11 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
                               idx_all[ofs:ofs + m]),
                     "real": (None, p_all[ofs + m:ofs + 2 * m],
                              idx_all[ofs + m:ofs + 2 * m])}
-            del clf  # free this classifier's device params
+            # NOTE: load_params memoizes per (model, weights_dir); all three
+            # classifiers' device params stay resident across the summarize
+            # (intentional — multi-setup summarize revisits each classifier
+            # per setup; ~0.7 GB f32 total for the zoo). Call
+            # spaa_tpu.models.classifiers.clear_params_cache() to evict.
 
         # ---- pass 2.5: ALL cells' stealthiness metrics, ONE dispatch ----
         # (per-sample primitives; the targeted/untargeted/all blocks are
@@ -349,7 +388,7 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
         # ---- pass 2.6: ALL cells' montage panels, ONE dispatch ----
         prj_hw = (int(setup_info["prj_im_sz"][1]),
                   int(setup_info["prj_im_sz"][0]))
-        scene_rz, infer_rz_all, real_rz_all = (
+        scene_rz, infer_rz_all, real_rz_all, diff_map_all = (
             np.asarray(o) for o in _panels_all_device(
                 jnp.asarray(cam_scene), ci_all, cr_all, cp_sz, prj_hw))
         scene_rz = scene_rz.astype(np.float32) / 255.0
@@ -357,7 +396,8 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
         # ---- pass 3: stats rows; montage assembly/writes (pure host
         # numpy/PIL) run in a thread pool off the critical path ----
         from concurrent.futures import ThreadPoolExecutor
-        pool = ThreadPoolExecutor(max_workers=4)
+        pool = ThreadPoolExecutor(
+            max_workers=min(8, max(os.cpu_count() or 1, 2)))
         futures = []
         for k, c in enumerate(cells):
             ret = c["ret"]
@@ -371,19 +411,26 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
             panels = (scene_rz,
                       infer_rz_all[sl_cell].astype(np.float32) / 255.0,
                       real_rz_all[sl_cell].astype(np.float32) / 255.0,
-                      prj_vals[2], infer_vals[2], real_vals[2])
+                      prj_vals[2], infer_vals[2], real_vals[2],
+                      diff_map_all[sl_cell])
 
-            def render(ret=ret, prj_adv=c["prj_adv"], panels=panels,
-                       folder=c["folder"]):
-                montage = [attack_results(ret, t, imagenet_labels, im_gray,
-                                          prj_adv, cam_scene, None, None,
-                                          setup_info["prj_im_sz"],
-                                          cp_sz, panels=panels)
-                           for t in range(m)]
-                save_imgs(np.stack(montage, 0),
-                          join(setup_path, "ret", folder))
+            ret_dir = join(setup_path, "ret", c["folder"])
+            have_all = (os.path.isdir(ret_dir)
+                        and len([f for f in os.listdir(ret_dir)
+                                 if f.endswith(".png")]) >= m)
+            if recreate_imgs or not have_all:
+                def render(ret=ret, prj_adv=c["prj_adv"], panels=panels,
+                           folder=c["folder"]):
+                    montage = [attack_results(ret, t, imagenet_labels,
+                                              im_gray, prj_adv, cam_scene,
+                                              None, None,
+                                              setup_info["prj_im_sz"],
+                                              cp_sz, panels=panels)
+                               for t in range(m)]
+                    save_imgs(np.stack(montage, 0),
+                              join(setup_path, "ret", folder))
 
-            futures.append(pool.submit(render))
+                futures.append(pool.submit(render))
 
             # success rates (ref :521-533)
             t1_infer = np.count_nonzero(
@@ -424,12 +471,14 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
         os.makedirs(ret_path, exist_ok=True)
         table.to_csv(join(ret_path, "stats.txt"), index=False,
                      float_format="%.4f", sep="\t")
-        try:
-            table.to_excel(join(ret_path, "stats.xlsx"),
-                           float_format="%.4f", index=False)
-        except (ImportError, ModuleNotFoundError, ValueError):
-            pass
-    return table
+        to_excel(table, join(ret_path, "stats.xlsx"), index=False)
+    # Return every processed setup's rows concatenated. Documented deviation
+    # (PARITY.md): the reference returns only the LAST setup's table — the
+    # concatenation is strictly more informative and the on-disk per-setup
+    # stats files (what summarize_all_attackers consumes) are identical.
+    if not setup_tables:
+        return pd.DataFrame(columns=columns)
+    return pd.concat(setup_tables, axis=0, ignore_index=True)
 
 
 def summarize_all_attackers(attacker_names, data_root, setup_list,
@@ -464,11 +513,7 @@ def summarize_all_attackers(attacker_names, data_root, setup_list,
 
     table.to_csv(join(data_root, "setups/stats_all.txt"), index=False,
                  float_format="%.4f", sep="\t")
-    try:
-        table.to_excel(join(data_root, "setups/stats_all.xlsx"),
-                       float_format="%.4f", index=False)
-        pivot_table.to_excel(join(data_root, "setups/pivot_table_all.xlsx"),
-                             float_format="%.4f", index=True)
-    except (ImportError, ModuleNotFoundError, ValueError):
-        pass
+    to_excel(table, join(data_root, "setups/stats_all.xlsx"), index=False)
+    to_excel(pivot_table, join(data_root, "setups/pivot_table_all.xlsx"),
+             index=True)
     return table, pivot_table

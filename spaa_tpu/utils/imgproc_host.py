@@ -199,19 +199,49 @@ def create_number_pattern(w: int, h: int, count: int = 10) -> np.ndarray:
     return np.stack(ims, 0)
 
 
+def _get_font(font_sz: int):
+    """Cached PIL font (truetype loading is disk I/O — the montage path
+    annotates ~11 strings x hundreds of montages per summarize)."""
+    from PIL import ImageFont
+    font = _FONT_CACHE.get(font_sz)
+    if font is None:
+        try:
+            font = ImageFont.truetype(
+                "/usr/share/fonts/truetype/liberation/"
+                "LiberationSans-Regular.ttf", font_sz)
+        except OSError:
+            font = ImageFont.load_default()
+        _FONT_CACHE[font_sz] = font
+    return font
+
+
+_FONT_CACHE: dict = {}
+
+
 def insert_text(im_hwc: np.ndarray, text: str, pos, font_sz: int = 14,
                 color=(0, 0, 0)) -> np.ndarray:
     """Annotate an HWC float image with text (PIL). Ref
     ``img_proc.py:174-190`` (used by attack-result montages)."""
-    from PIL import Image, ImageDraw, ImageFont
+    return insert_texts(im_hwc, [(text, pos, color)], font_sz)
+
+
+def insert_texts(im_hwc: np.ndarray, items, font_sz: int = 14,
+                 border=None, fill=(255, 255, 255)) -> np.ndarray:
+    """One-pass annotation: optional border expand + every
+    ``(text, (x, y), color)`` drawn on a single PIL canvas.
+
+    The per-call float↔uint8↔PIL round-trip of :func:`insert_text` is the
+    dominant host cost of montage assembly (~20 full-image conversions per
+    montage in the reference-shaped path); drawing all labels in one pass
+    converts exactly twice."""
+    from PIL import Image, ImageDraw, ImageOps
     im = Image.fromarray(np.uint8(np.clip(im_hwc, 0, 1) * 255))
-    try:
-        font = ImageFont.truetype(
-            "/usr/share/fonts/truetype/liberation/LiberationSans-Regular.ttf",
-            font_sz)
-    except OSError:
-        font = ImageFont.load_default()
-    ImageDraw.Draw(im).text(tuple(pos), text, color, font=font)
+    if border is not None:
+        im = ImageOps.expand(im, border=tuple(border), fill=tuple(fill))
+    font = _get_font(font_sz)
+    draw = ImageDraw.Draw(im)
+    for text, pos, color in items:
+        draw.text(tuple(pos), text, color, font=font)
     return np.asarray(im).astype(np.float32) / 255.0
 
 

@@ -3,7 +3,7 @@
 Re-design of reference ``utils.py:629-721``. The config→string scheme is a
 de-facto API (directory and checkpoint names the benchmark dataset layout
 depends on, ``data/README.md:22-28``) and is kept byte-identical. xlsx
-output degrades gracefully to csv when no engine is installed.
+output uses the in-tree engine-free writer (``spaa_tpu.utils.xlsx``).
 """
 
 from __future__ import annotations
@@ -39,14 +39,13 @@ def init_log_file(log_dir: str):
 
 def write_log_file(df: pd.DataFrame, log_txt=None, log_xls=None,
                    mode: str = "w") -> None:
-    """Ref ``utils.py:687-694``; xlsx skipped if no engine available."""
+    """Ref ``utils.py:687-694``. xlsx is written by the in-tree minimal
+    writer (``spaa_tpu.utils.xlsx``) — no pandas Excel engine needed."""
     if log_txt is not None:
         df.to_csv(log_txt, mode=mode, index=False, float_format="%.4f")
     if log_xls is not None:
-        try:
-            df.to_excel(log_xls, index=False, float_format="%.4f")
-        except (ImportError, ModuleNotFoundError, ValueError):
-            pass  # no xlsx engine in this image; the .txt log is canonical
+        from spaa_tpu.utils.xlsx import to_excel
+        to_excel(df, log_xls, index=False)
     print(f"Log files are saved to {log_txt} and {log_xls}")
 
 
@@ -76,6 +75,44 @@ def load_checkpoint(path: str, params_template):
     from flax import serialization
     with open(path, "rb") as f:
         return serialization.from_bytes(params_template, f.read())
+
+
+def resume_path(checkpoint_dir: str, title: str) -> str:
+    """Crash-recovery train-state file for a run (config-string keyed like
+    the final checkpoint; removed on successful completion)."""
+    return checkpoint_path(checkpoint_dir, title) + ".resume.npz"
+
+
+def save_train_state(path: str, params, opt_state, itr: int) -> None:
+    """Atomic (params, optimizer state, iteration) snapshot — the
+    improvement over the reference's params-only save-at-end
+    (ref ``utils.py:717-721``): a killed run resumes mid-train with the
+    exact Adam moments and schedule step, reproducing the uninterrupted
+    trajectory. Stored as flat npz leaves; the pytree structure is
+    recovered from templates on load."""
+    import jax
+    import numpy as np
+    leaves = jax.tree.leaves((params, opt_state))
+    payload = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    payload["iter"] = np.int64(itr)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:   # file handle: savez must not append .npz
+        np.savez(f, **payload)
+    os.replace(tmp, path)   # never leave a torn file for the next resume
+
+
+def load_train_state(path: str, params_template, opt_state_template):
+    """Restore a :func:`save_train_state` snapshot into the structure of
+    the given templates. Returns (params, opt_state, iter)."""
+    import jax
+    import numpy as np
+    treedef = jax.tree.structure((params_template, opt_state_template))
+    with np.load(path) as data:
+        n = sum(1 for k in data.files if k.startswith("leaf_"))
+        leaves = [data[f"leaf_{i}"] for i in range(n)]
+        itr = int(data["iter"])
+    params, opt_state = jax.tree.unflatten(treedef, leaves)
+    return params, opt_state, itr
 
 
 def print_sys_info() -> None:
