@@ -121,22 +121,47 @@ def load_params_npz(path: str):
 
 _PARAMS_CACHE: dict = {}
 
+# where the operator drops the three pinned torchvision .pth files (or the
+# converted .npz caches): <repo>/checkpoint. Every entry point that does
+# not pass an explicit weights_dir searches here.
+DEFAULT_WEIGHTS_DIR = os.path.abspath(
+    join(os.path.dirname(os.path.abspath(__file__)), "..", "..", "..",
+         "checkpoint"))
+
+
+def clear_params_cache() -> None:
+    """Evict all memoized classifier params (frees their device buffers
+    once no live Classifier still references them)."""
+    _PARAMS_CACHE.clear()
+
+
+def params_source(model_name: str, weights_dir: Optional[str] = None,
+                  seed: int = 0) -> str:
+    """Where :func:`load_params` got (or would get) this model's params:
+    'npz' / 'pth' (converted pinned checkpoint) or 'random'."""
+    return load_params(model_name, weights_dir, seed, verbose=False)[1]
+
 
 def load_params(model_name: str, weights_dir: Optional[str] = None,
                 seed: int = 0, verbose: bool = True):
     """Resolve classifier params: converted-.npz cache → torch .pth
-    (converted + cached) → deterministic random init.
+    (converted + cached) → deterministic random init. Returns
+    ``(params, source)`` with source in {'npz', 'pth', 'random'}.
 
     Results are memoized per (model, weights_dir, seed): summarize and the
     attack sweep instantiate ``Classifier`` repeatedly, and with real
     weights every reload would be a fresh disk read + host→device
-    transfer."""
+    transfer. The zoo's params stay resident for the process lifetime
+    (~0.7 GB f32 for all three) unless :func:`clear_params_cache` is
+    called."""
+    if weights_dir is None:
+        weights_dir = DEFAULT_WEIGHTS_DIR
     cache_key = (model_name, weights_dir, seed)
     if cache_key in _PARAMS_CACHE:
         return _PARAMS_CACHE[cache_key]
-    params = _load_params_uncached(model_name, weights_dir, seed, verbose)
-    _PARAMS_CACHE[cache_key] = params
-    return params
+    entry = _load_params_uncached(model_name, weights_dir, seed, verbose)
+    _PARAMS_CACHE[cache_key] = entry
+    return entry
 
 
 def _load_params_uncached(model_name: str, weights_dir: Optional[str],
@@ -144,18 +169,18 @@ def _load_params_uncached(model_name: str, weights_dir: Optional[str],
     if weights_dir:
         npz = join(weights_dir, f"{model_name}.npz")
         if os.path.exists(npz):
-            return load_params_npz(npz)
+            return load_params_npz(npz), "npz"
         pth = join(weights_dir, os.path.basename(PRETRAINED_URLS[model_name]))
         if os.path.exists(pth):
             from spaa_tpu.models.classifiers.convert import (
                 convert_state_dict, load_torch_checkpoint)
             params = convert_state_dict(model_name, load_torch_checkpoint(pth))
             save_params_npz(params, npz)
-            return load_params_npz(npz)
+            return load_params_npz(npz), "pth"
     if verbose:
         print(f"[classifiers] no pretrained weights for {model_name} "
               f"(searched {weights_dir}); using deterministic random init")
-    return init_params(model_name, seed)
+    return init_params(model_name, seed), "random"
 
 
 @functools.lru_cache(maxsize=8)
@@ -184,7 +209,12 @@ class Classifier:
         self.input_sz = _MODELS[model_name][1]
         self.sort_results = sort_results
         self.fix_params = fix_params
-        self.params = load_params(model_name, weights_dir, seed)
+        self.params, self.params_source = load_params(model_name,
+                                                      weights_dir, seed)
+        # True iff real converted torchvision weights were found — callers
+        # use this to decide between the reference's hard agreement assert
+        # (ref main.py:135) and a random-weights warning
+        self.loaded_pretrained = self.params_source != "random"
         self._logits_fn = _shared_logits_fn(model_name)
         self._jitted = _shared_jitted_logits(model_name)
 

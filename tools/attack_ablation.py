@@ -53,7 +53,7 @@ def main():
     dt = jnp.repeat(jnp.asarray([5.0, 7.0, 9.0, 11.0] * 3), 11)
 
     cdtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-    cparams = load_params("resnet18", None, verbose=False)
+    cparams = load_params("resnet18", None, verbose=False)[0]
     cparams = jax.tree.map(
         lambda x: x.astype(cdtype) if x.dtype == jnp.float32 else x, cparams)
     lf = make_logits_fn("resnet18")

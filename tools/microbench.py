@@ -50,7 +50,7 @@ def main():
     bwd = jax.jit(lambda p,x,s,m,c: jax.grad(lambda q: jnp.sum(pcnet.apply({"params":p},q,s,m,cache=c)))(x))
     print("pcnet fwd+bwd(x)     %7.1f ms" % (1e3*timeit(bwd, params, prj, scene_b, maskj, cache)))
 
-    cparams = load_params("resnet18", None, verbose=False)
+    cparams = load_params("resnet18", None, verbose=False)[0]
     lf = make_logits_fn("resnet18")
     cf = jax.jit(lambda p,im: lf(p,im,(240,240)))
     cam = fwd(params, prj, scene_b, maskj, cache)
