@@ -11,12 +11,17 @@ Steps (reference ``main.py`` cell numbers in parens):
   2 capture          project & capture ref/cb/train/test patterns  (2-3)
   3 check            classifiers must agree on the clean scene     (3)
   4 train            train PCNet on the captured pairs             (4)
-  5 attack           run the SPAA attack sweep                     (5)
-  6 capture-attack   re-project adversarial images, capture real   (6)
-  7 summarize        per-setup stats + montages                    (7-8)
+  5 attack           run the SPAA attack sweep                     (5.1)
+  6 capture-attack   re-project adversarial images, capture real   (5.2)
+  7 summarize        SPAA per-setup stats + montages               (5.2)
+  8 percal           PerC-AL+CompenNet++: train + attack + capture
+                     + summarize                                   (6.1-6.2)
+  9 one-pixel        One-pixel_DE attack (captures while attacking)
+                     + summarize                                   (7.1)
+  10 summarize-all   all-attacker gather + pivot table ≙ Table 1   (8)
 
 Usage:
-  python main.py --data-root data --setup-name sim_test --steps 1-7
+  python main.py --data-root data --setup-name sim_test --steps 1-10
   python main.py --hardware --data-root data --setup-name my_object \\
       --steps 2 --cam-index 0
 """
@@ -99,8 +104,11 @@ def main() -> None:
     # the projector/camera "numbers" sync test (ref main.py:52-61)
     if 2 in steps:
         if args.hardware:
-            from spaa_tpu.utils.procams import (capture_setup_data,
-                                                sync_test)
+            from spaa_tpu.utils.procams import (
+                adjust_setup_brightness_and_pose, capture_setup_data,
+                sync_test)
+            # interactive brightness/pose/exposure check (ref main.py:41-50)
+            adjust_setup_brightness_and_pose(procams.setup_info)
             sync_test(procams, data_root)
             capture_setup_data(procams, data_root, setup_name)
         else:
@@ -113,7 +121,9 @@ def main() -> None:
     # ---- 3. classifiers must agree on the clean scene (ref main.py:128-135)
     if 3 in steps:
         import jax.numpy as jnp
-        from spaa_tpu.models.classifiers import (load_imagenet_labels,
+        from spaa_tpu.models.classifiers import (DEFAULT_WEIGHTS_DIR,
+                                                 load_imagenet_labels,
+                                                 params_source,
                                                  query_multi_classifiers)
         from spaa_tpu.utils.io import imread
         from spaa_tpu.train.data import load_setup_info
@@ -122,13 +132,21 @@ def main() -> None:
         labels = load_imagenet_labels(
             join(data_root, "imagenet1000_clsidx_to_labels.txt"))
         cp_sz = tuple(int(c) for c in info["classifier_crop_sz"])
+        names = ["inception_v3", "resnet18", "vgg16"]
         pred, _ = query_multi_classifiers(
-            jnp.asarray(cam_scene)[None], cp_sz,
-            ["inception_v3", "resnet18", "vgg16"], labels)
-        if len(set(pred)) != 1:
+            jnp.asarray(cam_scene)[None], cp_sz, names, labels)
+        if all(params_source(n) != "random" for n in names):
+            # real converted weights loaded → the reference's hard guard
+            # applies (ref main.py:135): pick another scene/pose until the
+            # zoo agrees on the clean capture
+            assert len(set(pred)) == 1, \
+                "Classifiers disagree on the clean scene — adjust the " \
+                "object/camera pose before attacking (ref main.py:135)"
+        elif len(set(pred)) != 1:
             print("WARNING: classifiers disagree on the scene "
-                  "(expected with random-init weights; provide converted "
-                  "checkpoints in --data-root/../checkpoint for parity)")
+                  "(expected with random-init weights; drop the pinned "
+                  f"torchvision .pth files into {DEFAULT_WEIGHTS_DIR} "
+                  "for parity)")
 
     # ---- 4. train PCNet (ref main.py:139-146)
     if 4 in steps:
@@ -152,11 +170,49 @@ def main() -> None:
         cfg = get_attacker_cfg("SPAA", data_root, [setup_name])
         project_capture_real_attack(cfg, procams)
 
-    # ---- 7. summarize (ref main.py:166,221)
+    # ---- 7. summarize SPAA (ref main.py:166)
     if 7 in steps:
         from spaa_tpu.attack import summarize_single_attacker
         df = summarize_single_attacker("SPAA", data_root, [setup_name])
         print(df.head())
+
+    # ---- 8. PerC-AL+CompenNet++: train CompenNet++, attack, capture,
+    # summarize (ref main.py:169-196, cells 6.1-6.2)
+    if 8 in steps:
+        from spaa_tpu.attack import (get_attacker_cfg,
+                                     project_capture_real_attack,
+                                     run_projector_based_attack,
+                                     summarize_single_attacker)
+        cfg = get_attacker_cfg("PerC-AL+CompenNet++", data_root,
+                               [setup_name], load_pretrained=True)
+        cfg = run_projector_based_attack(cfg)
+        project_capture_real_attack(cfg, procams)
+        df = summarize_single_attacker("PerC-AL+CompenNet++", data_root,
+                                       [setup_name])
+        print(df.head())
+
+    # ---- 9. One-pixel_DE: no training; real adversarial projections are
+    # captured while attacking (ref main.py:198-212, cell 7.1)
+    if 9 in steps:
+        from spaa_tpu.attack import (get_attacker_cfg,
+                                     run_projector_based_attack,
+                                     summarize_single_attacker)
+        cfg = get_attacker_cfg("One-pixel_DE", data_root, [setup_name])
+        run_projector_based_attack(cfg, procams=procams)
+        df = summarize_single_attacker("One-pixel_DE", data_root,
+                                       [setup_name])
+        print(df.head())
+
+    # ---- 10. summarize all attackers → stats_all + pivot table ≙ paper
+    # Table 1 (ref main.py:214-225, cell 8)
+    if 10 in steps:
+        from spaa_tpu.attack import summarize_all_attackers
+        attacker_names = ["SPAA", "PerC-AL+CompenNet++", "One-pixel_DE"]
+        _, pivot_table = summarize_all_attackers(
+            attacker_names, data_root, [setup_name],
+            recreate_stats_and_imgs=False)
+        print(f"\n------ Pivot table of 1 setup in {data_root} ------")
+        print(pivot_table.to_string(index=True, float_format="%.4f"))
 
 
 if __name__ == "__main__":

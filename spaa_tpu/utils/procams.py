@@ -180,6 +180,21 @@ def project_capture_data(prj_input_path: str, cam_cap_path: str, setup_info,
         plt.close("all")
 
 
+def adjust_setup_brightness_and_pose(setup_info) -> None:
+    """Interactive pre-capture check (ref ``main.py:41-50``): project
+    black / setup-gray / white fullscreen windows so the operator can
+    adjust projector brightness, focus, and the object pose, with a live
+    camera preview (press 'q' to finish). Hardware-only UX — call before
+    :func:`capture_setup_data`."""
+    import matplotlib.pyplot as plt
+    for brightness in [0.0, float(setup_info["prj_brightness"]), 1.0]:
+        init_prj_window(*setup_info["prj_screen_sz"], brightness,
+                        setup_info["prj_offset"])
+    preview_cam(setup_info["cam_raw_sz"],
+                (800, 600))  # ref main.py:50 preview crop
+    plt.close("all")
+
+
 def sync_test(procams, data_root: str, setup_name: str = "sync_test",
               count: int = 10) -> str:
     """Projector↔camera sync check (ref ``main.py:52-61``): project the
