@@ -147,7 +147,7 @@ def _build(log):
     runs = []
     for name in CLASSIFIERS:
         t0 = time.time()
-        cparams = load_params(name, None, verbose=False)
+        cparams = load_params(name, None, verbose=False)[0]
         if cdtype != jnp.float32:
             cparams = jax.tree.map(
                 lambda x: x.astype(cdtype) if x.dtype == jnp.float32 else x,
@@ -300,6 +300,63 @@ def _bench_train_step(log, force):
     return ips
 
 
+def _bench_train_e2e(log, force):
+    """End-to-end production training wall-clock: the PUBLIC
+    ``train_model_scan`` loop at benchmark shapes — 2000 iters, batch 24,
+    validation every 200 iters on 200 held-out images (fused
+    single-dispatch evaluator), uint8 wire tensors, crash-resume snapshots
+    OFF — timed start to finish including the host loop, validation pulls
+    and logging (the gap between this and 2000/it_s is the host overhead
+    budget; round-2 observed ~2x in the --sim run)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spaa_tpu.models import PCNet
+    from spaa_tpu.train.train import (compute_loss, get_model_train_cfg,
+                                      make_evaluator, make_pcnet_optimizer,
+                                      sample_batch_indices, train_model_scan)
+    from spaa_tpu.utils.jaxtools import host_init
+
+    rng = np.random.default_rng(4)
+    model = PCNet(out_size=CAM_HW)
+    mask = jnp.ones((*CAM_HW, 1), jnp.float32)
+    scene = np.asarray(rng.random((1, *CAM_HW, 3), np.float32))
+    params = host_init(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, *PRJ_HW, 3)),
+        jnp.zeros((1, *CAM_HW, 3)), mask)["params"])
+
+    n_train, n_valid = 500, 200
+    prj_train = rng.integers(0, 256, (n_train, *PRJ_HW, 3), np.uint8)
+    cam_train = rng.integers(0, 256, (n_train, *CAM_HW, 3), np.uint8)
+    prj_valid = rng.integers(0, 256, (n_valid, *PRJ_HW, 3), np.uint8)
+    cam_valid = rng.integers(0, 256, (n_valid, *CAM_HW, 3), np.uint8)
+
+    def apply_fn(p, x, sc):
+        return model.apply({"params": p}, x, sc, mask)
+
+    def loss_fn(p, x, y, itr):
+        sc = jnp.broadcast_to(jnp.asarray(scene),
+                              (x.shape[0],) + scene.shape[1:])
+        infer = model.apply({"params": p}, x, sc, mask)
+        w = (itr > 400).astype(jnp.float32)
+        return compute_loss(infer, y, "l1+ssim", ssim_weight=w)
+
+    cfg = get_model_train_cfg(["PCNet"], single=True)   # 2000 it, batch 24
+    tx = make_pcnet_optimizer(cfg)
+    idx = sample_batch_indices(n_train, cfg.batch_size, cfg.max_iters)
+    evaluator = make_evaluator(apply_fn, prj_valid, cam_valid, scene)
+
+    t0 = time.time()
+    train_model_scan(loss_fn, params, tx,
+                     dict(inputs=prj_train, targets=cam_train), idx, cfg,
+                     valid_fn=evaluator)
+    e2e = time.time() - t0
+    log(f"[bench] train e2e: {e2e:.1f}s for 2000 iters incl. data upload, "
+        f"10 validations, host loop (pure-step budget 113s)")
+    return e2e
+
+
 def main() -> None:
     import jax
     import numpy as np
@@ -339,6 +396,7 @@ def main() -> None:
     infer_fps = _bench_infer_fps(pcnet_apply, pcnet_state, log, force)
     with contextlib.redirect_stdout(buf):
         train_ips = _bench_train_step(log, force)
+        train_e2e = _bench_train_e2e(log, force)
 
     per_config = best / N_CONFIGS
     print(json.dumps({
@@ -350,6 +408,7 @@ def main() -> None:
             "pcnet_infer_fps": round(infer_fps, 1),
             "pcnet_train_iters_per_s": round(train_ips, 2),
             "pcnet_train_2000it_s": round(2000 / train_ips, 1),
+            "pcnet_train_e2e_s": round(train_e2e, 1),
             "warp_source": warp_source,
             "sweep_wallclock_s": round(best, 3),
         },

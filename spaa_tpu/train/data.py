@@ -29,6 +29,17 @@ def load_setup_info(setup_path: str) -> DictConfig:
     return OmegaConf.load(default_fn)
 
 
+def as_uint8_wire(x) -> np.ndarray:
+    """Lossless uint8 wire form for PNG-sourced [0,1] float images
+    (k/255 → k): 4x less host→device upload and HBM residency for train
+    tensors; jitted consumers cast the gathered minibatch back on device
+    (same f32 values, identical training trajectory)."""
+    x = np.asarray(x)
+    if x.dtype == np.uint8:
+        return x
+    return np.uint8(np.round(np.clip(x, 0.0, 1.0) * 255.0))
+
+
 def nayar_separation(im_cb: np.ndarray, b: float = 0.9):
     """Direct/indirect light separation from shifted illumination patterns
     (Nayar TOG'06; ref ``train_network.py:69-77``).

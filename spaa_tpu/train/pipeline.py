@@ -20,7 +20,7 @@ import numpy as np
 from spaa_tpu.models import (CompenNet, CompenNetPlusplus, PCNet, WarpingNet,
                              affine_from_corners)
 from spaa_tpu.ops import metrics as M
-from spaa_tpu.train.data import load_data, load_setup_info
+from spaa_tpu.train.data import as_uint8_wire, load_data, load_setup_info
 from spaa_tpu.train.train import (compute_loss, get_model_train_cfg,
                                   make_compennet_pp_optimizer, make_evaluator,
                                   make_pcnet_optimizer, sample_batch_indices,
@@ -159,7 +159,8 @@ def train_eval_pcnet(cfg_default):
                         return model.apply({"params": p}, prj, scene, mask)
 
                     evaluator = make_evaluator(
-                        apply_fn, data["prj_valid"], data["cam_valid"],
+                        apply_fn, as_uint8_wire(data["prj_valid"]),
+                        as_uint8_wire(data["cam_valid"]),
                         data["cam_scene"])
 
                     ckpt = L.checkpoint_path(join(data_root, "../checkpoint"),
@@ -187,10 +188,15 @@ def train_eval_pcnet(cfg_default):
                                                    cfg.max_iters)
                         params, *_ = train_model_scan(
                             loss_fn, params, tx,
-                            dict(inputs=data["prj_train"][:num_train],
-                                 targets=data["cam_train"][:num_train]),
+                            dict(inputs=as_uint8_wire(
+                                     data["prj_train"][:num_train]),
+                                 targets=as_uint8_wire(
+                                     data["cam_train"][:num_train])),
                             idx, cfg, valid_fn=evaluator,
-                            curve_logger=_make_curve_logger(cfg, data_root))
+                            curve_logger=_make_curve_logger(cfg, data_root),
+                            resume_path=L.resume_path(
+                                join(data_root, "../checkpoint"),
+                                L.opt_to_string(cfg)))
                         L.save_checkpoint(join(data_root, "../checkpoint"),
                                           params, L.opt_to_string(cfg))
 
@@ -330,7 +336,8 @@ def train_eval_compennet_pp(cfg_default):
                         return model.apply({"params": p}, cam, scene)
 
                     evaluator = make_evaluator(
-                        apply_fn, data["cam_valid"], data["prj_valid"],
+                        apply_fn, as_uint8_wire(data["cam_valid"]),
+                        as_uint8_wire(data["prj_valid"]),
                         data["cam_scene"])
 
                     ckpt = L.checkpoint_path(join(data_root, "../checkpoint"),
@@ -355,10 +362,15 @@ def train_eval_compennet_pp(cfg_default):
                                                    cfg.max_iters)
                         params, *_ = train_model_scan(
                             loss_fn, params, tx,
-                            dict(inputs=data["cam_train"][:num_train],
-                                 targets=data["prj_train"][:num_train]),
+                            dict(inputs=as_uint8_wire(
+                                     data["cam_train"][:num_train]),
+                                 targets=as_uint8_wire(
+                                     data["prj_train"][:num_train])),
                             idx, cfg, valid_fn=evaluator,
-                            curve_logger=_make_curve_logger(cfg, data_root))
+                            curve_logger=_make_curve_logger(cfg, data_root),
+                            resume_path=L.resume_path(
+                                join(data_root, "../checkpoint"),
+                                L.opt_to_string(cfg)))
                         L.save_checkpoint(join(data_root, "../checkpoint"),
                                           params, L.opt_to_string(cfg))
 
