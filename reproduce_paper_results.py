@@ -45,6 +45,9 @@ def main() -> None:
     ap.add_argument("--load-pretrained", action="store_true",
                     help="load cached checkpoints instead of retraining")
     ap.add_argument("--recreate-stats-and-imgs", action="store_true")
+    ap.add_argument("--keep-existing-imgs", action="store_true",
+                    help="recompute stats but skip montages that already "
+                         "exist (montage writes dominate recreate time)")
     args = ap.parse_args()
 
     from spaa_tpu.attack import (get_attacker_cfg, run_projector_based_attack,
@@ -114,7 +117,8 @@ def main() -> None:
                     project_capture_real_attack(c1, _procams_for(s))
 
     df = summarize_all_attackers(attackers, data_root, setup_list,
-                                 recreate_stats_and_imgs=True)
+                                 recreate_stats_and_imgs=True,
+                                 recreate_imgs=not args.keep_existing_imgs)
     print(df)
     print("\nAll done! Stats under", join(data_root, "setups"))
 

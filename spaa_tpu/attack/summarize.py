@@ -45,6 +45,13 @@ from spaa_tpu.utils.xlsx import to_excel
 
 
 @jax.jit
+def _valid_metrics_jit(x_u8, y_u8):
+    """Validation metrics bundle on uint8 wire inputs (one dispatch)."""
+    from spaa_tpu.ops.metrics import _metrics_device
+    return _metrics_device(_as_float01(x_u8), _as_float01(y_u8))
+
+
+@jax.jit
 def _stealth_metrics_jit(pa, gray, ci, cr, cs_b):
     """One dispatch for stealthiness metrics over a whole image stack
     (a cell's 11 images, or ALL cells of a setup concatenated):
@@ -127,19 +134,21 @@ def montage_panels(cam_scene, cam_infer, cam_real, prj_adv, im_gray,
 
 def attack_results(ret, t, imgnet_labels, im_gray, prj_adv, cam_scene,
                    cam_infer, cam_real, prj_im_sz, cp_sz,
-                   panels=None) -> np.ndarray:
+                   panels=None, as_uint8: bool = False) -> np.ndarray:
     """Five-panel annotated result montage for target ``t``
     (ref ``projector_based_attack.py:362-414``).
 
     ``panels``: optional precomputed :func:`montage_panels` output for the
     whole cell (summarize passes it so the per-target work is pure
-    host-side numpy/PIL)."""
+    host-side numpy/PIL). ``as_uint8=True`` keeps the whole assembly in
+    uint8 (no float round-trips — the float→uint8 conversion inside
+    ``save_imgs`` was the measured PNG-write hotspot) and returns uint8."""
     prj_hw = (int(prj_im_sz[1]), int(prj_im_sz[0]))
     if panels is None:
         panels = montage_panels(cam_scene, cam_infer, cam_real, prj_adv,
                                 im_gray, cp_sz, prj_im_sz)
     prj_adv = np.asarray(prj_adv)
-    if prj_adv.dtype == np.uint8:
+    if prj_adv.dtype == np.uint8 and not as_uint8:
         prj_adv = prj_adv.astype(np.float32) / 255.0
     scene_rz, infer_all, real_all, prj_l2s, pred_l2s, real_l2s = panels[:6]
     diff_maps = panels[6] if len(panels) > 6 else None
@@ -155,9 +164,18 @@ def attack_results(ret, t, imgnet_labels, im_gray, prj_adv, cam_scene,
         diff = (diff - diff.min()) / max(diff.max() - diff.min(), 1e-12)
         diff_color = to_pseudocolor(diff.mean(-1))
 
-    im = make_grid(np.stack([scene_rz, np.asarray(prj_adv[t]), infer_rz,
-                             real_rz, diff_color], 0),
-                   nrow=5, padding=5, pad_value=1.0)
+    if as_uint8:
+        def u8(x):
+            x = np.asarray(x)
+            return x if x.dtype == np.uint8 \
+                else np.uint8(np.clip(x, 0, 1) * 255)
+        im = make_grid(np.stack([u8(scene_rz), u8(prj_adv[t]), u8(infer_rz),
+                                 u8(real_rz), u8(diff_color)], 0),
+                       nrow=5, padding=5, pad_value=255)
+    else:
+        im = make_grid(np.stack([scene_rz, np.asarray(prj_adv[t]), infer_rz,
+                                 real_rz, diff_color], 0),
+                       nrow=5, padding=5, pad_value=1.0)
 
     prj_l2 = float(prj_l2s[t])
     pred_l2 = float(pred_l2s[t])
@@ -194,7 +212,8 @@ def attack_results(ret, t, imgnet_labels, im_gray, prj_adv, cam_scene,
     ]
     return insert_texts(
         im, labels, fsz,
-        border=(0, max(int(round(26 * prj_hw[1] / 256.0)), 12), 0, 0))
+        border=(0, max(int(round(26 * prj_hw[1] / 256.0)), 12), 0, 0),
+        as_uint8=as_uint8)
 
 
 def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
@@ -255,25 +274,38 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
                           float(setup_info["prj_brightness"]), np.float32)
         cam_scene = imread(join(setup_path, "cam/raw/ref/img_0002.png"))[None]
 
-        # validation block (ref :463-473)
+        import time as _time
+        phase_t = {"valid": 0.0, "io": 0.0, "stage": 0.0, "classify": 0.0,
+                   "metrics": 0.0, "panels": 0.0, "rows": 0.0,
+                   "montage_wait": 0.0}
+        _t0 = _time.time()
+        # validation block (ref :463-473). Images travel as uint8 and are
+        # center-cropped on the HOST before upload: the f32 uncropped path
+        # shipped ~370 MB per setup over the tunnel and was the dominant
+        # summarize cost (measured ~400 s of a 497 s SPAA summarize on a
+        # slow axon window); uint8+crop is ~70 MB, metrics in one dispatch.
         if attacker_name == "SPAA":
             inf_dir = join(setup_path, "cam/infer/test", model_cfg_str)
             gt_dir = join(setup_path, "cam/raw/test")
             if os.path.isdir(inf_dir):
-                im_infer = center_crop(jnp.asarray(imread_dir(inf_dir)), cp_sz)
-                im_gt = center_crop(jnp.asarray(imread_dir(gt_dir)), cp_sz)
-                valid_ret = list(calc_img_dists(im_infer, im_gt))
+                im_infer = center_crop(imread_dir(inf_dir, as_uint8=True),
+                                       cp_sz)       # numpy slice, no copy
+                im_gt = center_crop(imread_dir(gt_dir, as_uint8=True),
+                                    cp_sz)
+                valid_ret = [float(v) for v in _valid_metrics_jit(
+                    jnp.asarray(im_infer), jnp.asarray(im_gt))]
             else:
                 valid_ret = [0] * 6
         elif attacker_name == "PerC-AL+CompenNet++":
             inf_dir = join(setup_path, "prj/infer/test", model_cfg_str)
             gt_dir = join(data_root, "prj_share/test")
             if os.path.isdir(inf_dir):
-                im_infer = jnp.asarray(imread_dir(inf_dir))
-                im_gt = jnp.asarray(
-                    imread_dir(gt_dir,
-                               index=list(range(im_infer.shape[0]))))
-                valid_ret = list(calc_img_dists(im_infer, im_gt))
+                im_infer = imread_dir(inf_dir, as_uint8=True)
+                im_gt = imread_dir(gt_dir,
+                                   index=list(range(im_infer.shape[0])),
+                                   as_uint8=True)
+                valid_ret = [float(v) for v in _valid_metrics_jit(
+                    jnp.asarray(im_infer), jnp.asarray(im_gt))]
             else:
                 valid_ret = [0] * 6
         else:
@@ -283,6 +315,8 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
         # (ref runs the classifier per cell, serially — the ~30-min hotspot,
         # reproduce_paper_results.py:71; here all cells of one classifier
         # become ONE chunked batched classification below)
+        phase_t["valid"] = _time.time() - _t0
+        _t0 = _time.time()
         cells = []
         for stealth_loss in stealth_losses:
             for d_thr in d_threshes:
@@ -322,6 +356,8 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
                          float_format="%.4f", sep="\t")
             continue
 
+        phase_t["io"] = _time.time() - _t0
+        _t0 = _time.time()
         # ---- pass 1.5: device staging — ONE put per image-stack kind ----
         # On a networked TPU backend the per-dispatch round-trip can reach
         # seconds; everything below is a constant handful of dispatches
@@ -346,6 +382,8 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
         cam_scene_u8 = np.uint8(np.round(np.asarray(cam_scene) * 255.0))
         scene_dev = jnp.asarray(cam_scene_u8)
 
+        phase_t["stage"] = _time.time() - _t0
+        _t0 = _time.time()
         # ---- pass 2: one chunked classification batch per classifier --
         for classifier_name in classifier_names:
             idxs = [i for i, c in enumerate(cells)
@@ -373,6 +411,8 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
             # per setup; ~0.7 GB f32 total for the zoo). Call
             # spaa_tpu.models.classifiers.clear_params_cache() to evict.
 
+        phase_t["classify"] = _time.time() - _t0
+        _t0 = _time.time()
         # ---- pass 2.5: ALL cells' stealthiness metrics, ONE dispatch ----
         # (per-sample primitives; the targeted/untargeted/all blocks are
         # host-side slice aggregates — the reference re-ran the full
@@ -385,14 +425,17 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
         all_vals = _stealth_metrics_jit(pa_all, gray, ci_cp, cr_cp, cs_b)
         all_vals = [np.asarray(v) for v in all_vals]   # 15 x [C*m]
 
+        phase_t["metrics"] = _time.time() - _t0
+        _t0 = _time.time()
         # ---- pass 2.6: ALL cells' montage panels, ONE dispatch ----
         prj_hw = (int(setup_info["prj_im_sz"][1]),
                   int(setup_info["prj_im_sz"][0]))
         scene_rz, infer_rz_all, real_rz_all, diff_map_all = (
             np.asarray(o) for o in _panels_all_device(
                 jnp.asarray(cam_scene), ci_all, cr_all, cp_sz, prj_hw))
-        scene_rz = scene_rz.astype(np.float32) / 255.0
 
+        phase_t["panels"] = _time.time() - _t0
+        _t0 = _time.time()
         # ---- pass 3: stats rows; montage assembly/writes (pure host
         # numpy/PIL) run in a thread pool off the critical path ----
         from concurrent.futures import ThreadPoolExecutor
@@ -408,9 +451,10 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
                                                cell_vals[10:15])
             # montage panels for this cell: image slices + the L2 columns
             # (same definition as the stealth L2 primitive)
-            panels = (scene_rz,
-                      infer_rz_all[sl_cell].astype(np.float32) / 255.0,
-                      real_rz_all[sl_cell].astype(np.float32) / 255.0,
+            # panels stay uint8 end-to-end (attack_results as_uint8):
+            # the per-montage float round-trips were the PNG-write hotspot
+            panels = (scene_rz, infer_rz_all[sl_cell],
+                      real_rz_all[sl_cell],
                       prj_vals[2], infer_vals[2], real_vals[2],
                       diff_map_all[sl_cell])
 
@@ -425,7 +469,8 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
                                               im_gray, prj_adv, cam_scene,
                                               None, None,
                                               setup_info["prj_im_sz"],
-                                              cp_sz, panels=panels)
+                                              cp_sz, panels=panels,
+                                              as_uint8=True)
                                for t in range(m)]
                     save_imgs(np.stack(montage, 0),
                               join(setup_path, "ret", folder))
@@ -460,9 +505,14 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
                 *stealth_block(slice(n, n + 1)),    # untargeted
                 *stealth_block(slice(0, n + 1)),    # all
             ]
+        phase_t["rows"] = _time.time() - _t0
+        _t0 = _time.time()
         for f in futures:
             f.result()
         pool.shutdown()
+        phase_t["montage_wait"] = _time.time() - _t0
+        print("[summarize] " + " ".join(f"{k}={v:.1f}s"
+                                        for k, v in phase_t.items()))
 
         print(f"\n---- [{attacker_name}] results on [{setup_name}] ----")
         print(table.to_string(index=False, float_format="%.4f"))
@@ -483,9 +533,14 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
 
 def summarize_all_attackers(attacker_names, data_root, setup_list,
                             recreate_stats_and_imgs: bool = False,
-                            weights_dir: Optional[str] = None):
+                            weights_dir: Optional[str] = None,
+                            recreate_imgs: bool = True):
     """Cross-setup gather + pivot table ≙ paper Table 1 / supp. Table 2
-    (ref ``projector_based_attack.py:577-614``)."""
+    (ref ``projector_based_attack.py:577-614``).
+
+    ``recreate_imgs=False`` (with ``recreate_stats_and_imgs=True``)
+    recomputes every stats row but keeps existing result montages —
+    montage writes dominate the recreate wall-clock."""
     tables = []
     for setup_name in setup_list:
         setup_path = join(data_root, "setups", setup_name)
@@ -496,7 +551,8 @@ def summarize_all_attackers(attacker_names, data_root, setup_list,
             if recreate_stats_and_imgs:
                 summarize_single_attacker(attacker_name, data_root,
                                           [setup_name],
-                                          weights_dir=weights_dir)
+                                          weights_dir=weights_dir,
+                                          recreate_imgs=recreate_imgs)
             tables.append(pd.read_csv(join(ret_path, "stats.txt"),
                                       index_col=None, header=0, sep="\t"))
 

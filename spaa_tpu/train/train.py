@@ -231,6 +231,38 @@ def train_model_scan(apply_loss_fn: Callable, params, tx, train_arrays: dict,
     start = time.time()
     it = start_it
     valid_psnr = valid_rmse = valid_ssim = 0.0
+    # evaluators built by make_evaluator expose an async (device-array)
+    # metrics dispatch; with it, the whole reporting tail of segment k
+    # (scalar pulls, resume snapshot, validation result, logging) runs
+    # while segment k+1 is already computing on device — on a networked
+    # backend this hides ~all per-segment host latency
+    async_valid = getattr(valid_fn, "async_metrics", None) \
+        if valid_fn is not None else None
+
+    def report(state):
+        nonlocal valid_psnr, valid_rmse, valid_ssim
+        it_done, loss_last, l2_last, vout, p_done, o_done = state
+        if resume_path is not None:
+            L.save_train_state(resume_path, p_done, o_done, it_done)
+        loss_v = float(loss_last)
+        rmse_v = math.sqrt(float(l2_last) * 3)
+        if vout is not None:
+            if async_valid is not None:
+                valid_psnr, valid_rmse, valid_ssim = (
+                    float(v) for v in np.asarray(vout))
+            else:
+                valid_psnr, valid_rmse, valid_ssim, _ = vout
+        lapse = time.strftime("%H:%M:%S", time.gmtime(time.time() - start))
+        print(f"{log_prefix}Iter:{it_done:5d} | Time: {lapse} | "
+              f"Train Loss: {loss_v:.4f} | Train RMSE: {rmse_v:.4f} | "
+              f"Valid PSNR: {valid_psnr:2.4f} | Valid RMSE: {valid_rmse:.4f} "
+              f"| Valid SSIM: {valid_ssim:.4f} |")
+        if curve_logger is not None:
+            curve_logger.append(it_done, train_loss=loss_v,
+                                train_rmse=rmse_v, valid_psnr=valid_psnr,
+                                valid_rmse=valid_rmse, valid_ssim=valid_ssim)
+
+    pending = None
     while it < max_iters:
         n = min(seg, max_iters - it)
         if use_scan:
@@ -245,21 +277,15 @@ def train_model_scan(apply_loss_fn: Callable, params, tx, train_arrays: dict,
                     params, opt_state, inputs, targets, idx_all[j],
                     jnp.asarray(j, jnp.int32))
         it += n
-        if resume_path is not None:
-            L.save_train_state(resume_path, params, opt_state, it)
-        loss_v = float(loss_last)
-        rmse_v = math.sqrt(float(l2_last) * 3)
+        if pending is not None:     # segment k-1's tail under segment k
+            report(pending)
+        vout = None
         if valid_fn is not None:
-            valid_psnr, valid_rmse, valid_ssim, _ = valid_fn(params)
-        lapse = time.strftime("%H:%M:%S", time.gmtime(time.time() - start))
-        print(f"{log_prefix}Iter:{it:5d} | Time: {lapse} | "
-              f"Train Loss: {loss_v:.4f} | Train RMSE: {rmse_v:.4f} | "
-              f"Valid PSNR: {valid_psnr:2.4f} | Valid RMSE: {valid_rmse:.4f} "
-              f"| Valid SSIM: {valid_ssim:.4f} |")
-        if curve_logger is not None:
-            curve_logger.append(it, train_loss=loss_v, train_rmse=rmse_v,
-                                valid_psnr=valid_psnr, valid_rmse=valid_rmse,
-                                valid_ssim=valid_ssim)
+            vout = (async_valid(params) if async_valid is not None
+                    else valid_fn(params))
+        pending = (it, loss_last, l2_last, vout, params, opt_state)
+    if pending is not None:
+        report(pending)
     if resume_path is not None and _os.path.exists(resume_path):
         _os.remove(resume_path)  # completed: the final checkpoint supersedes
     return params, valid_psnr, valid_rmse, valid_ssim
@@ -347,4 +373,10 @@ def make_evaluator(apply_fn: Callable, valid_inputs, valid_targets,
         images = np.concatenate(infers, 0) if return_images else None
         return psnr, rmse, ssim_v, images
 
+    if fused:
+        # async metrics: returns the un-pulled [3] device array so the
+        # training loop can dispatch it behind the next segment and pull
+        # later (train_model_scan's pipelined reporting)
+        evaluate.async_metrics = lambda params: _all_metrics(params, v_in_r,
+                                                             v_gt_r)
     return evaluate

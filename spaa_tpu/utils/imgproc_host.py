@@ -226,23 +226,29 @@ def insert_text(im_hwc: np.ndarray, text: str, pos, font_sz: int = 14,
 
 
 def insert_texts(im_hwc: np.ndarray, items, font_sz: int = 14,
-                 border=None, fill=(255, 255, 255)) -> np.ndarray:
+                 border=None, fill=(255, 255, 255),
+                 as_uint8: bool = False) -> np.ndarray:
     """One-pass annotation: optional border expand + every
     ``(text, (x, y), color)`` drawn on a single PIL canvas.
 
     The per-call float↔uint8↔PIL round-trip of :func:`insert_text` is the
     dominant host cost of montage assembly (~20 full-image conversions per
     montage in the reference-shaped path); drawing all labels in one pass
-    converts exactly twice."""
+    converts exactly twice — or zero times with a uint8 input and
+    ``as_uint8=True`` (the summarize bulk-render path)."""
     from PIL import Image, ImageDraw, ImageOps
-    im = Image.fromarray(np.uint8(np.clip(im_hwc, 0, 1) * 255))
+    if im_hwc.dtype == np.uint8:
+        im = Image.fromarray(im_hwc)
+    else:
+        im = Image.fromarray(np.uint8(np.clip(im_hwc, 0, 1) * 255))
     if border is not None:
         im = ImageOps.expand(im, border=tuple(border), fill=tuple(fill))
     font = _get_font(font_sz)
     draw = ImageDraw.Draw(im)
     for text, pos, color in items:
         draw.text(tuple(pos), text, color, font=font)
-    return np.asarray(im).astype(np.float32) / 255.0
+    out = np.asarray(im)
+    return out if as_uint8 else out.astype(np.float32) / 255.0
 
 
 def expand_border(im_hwc: np.ndarray, border=(0, 20, 0, 0),
