@@ -275,6 +275,13 @@ def query_multi_classifiers(im, cp_sz, classifier_names, imagenet_labels,
     return labels, confidence
 
 
+def idx_to_label(imgnet_labels: dict, idx) -> list:
+    """ImageNet labels for a list/array of *positional* indices
+    (ref ``utils.py:744-746``)."""
+    values = list(imgnet_labels.values())
+    return [values[int(x)] for x in idx]
+
+
 def load_imagenet_labels(filename: str) -> dict:
     """Ref ``classifier.py:109-116``: {idx: short_label}.
 

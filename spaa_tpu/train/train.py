@@ -35,6 +35,14 @@ from spaa_tpu.utils.config import DictConfig
 
 
 # --------------------------------------------------------------- loss menu
+def huber(x: jax.Array, y: jax.Array, scaling: float = 0.1) -> jax.Array:
+    """Pseudo-Huber loss (ref ``train_network.py`` ``huber``; the same
+    formula :func:`compute_loss` applies inline for the 'huber' option)."""
+    d2 = (x - y) ** 2
+    h = (jnp.sqrt(jnp.clip(1 + d2 / scaling ** 2, 1e-4)) - 1) * scaling
+    return jnp.mean(jnp.abs(h))
+
+
 def compute_loss(infer: jax.Array, target: jax.Array, loss_option: str,
                  ssim_weight: Optional[jax.Array] = None):
     """Loss menu l1/l2/ssim/huber (ref ``train_network.py:367-392``).
@@ -292,7 +300,8 @@ def train_model_scan(apply_loss_fn: Callable, params, tx, train_arrays: dict,
 
 
 def make_evaluator(apply_fn: Callable, valid_inputs, valid_targets,
-                   cam_scene, chunk_sz: int = 10):
+                   cam_scene, chunk_sz: int = 10,
+                   fused: Optional[bool] = None):
     """Chunked no-grad eval (ref ``evaluate_model``,
     ``train_network.py:395-441``). apply_fn(params, x, scene) -> infer.
 
@@ -313,7 +322,9 @@ def make_evaluator(apply_fn: Callable, valid_inputs, valid_targets,
     v_gt = jax.device_put(valid_targets)
     scene = jax.device_put(cam_scene)
     n_chunks = min(chunk_sz, n)
-    fused = (jax.default_backend() != "cpu") and n % max(n_chunks, 1) == 0
+    if fused is None:   # default: fuse off-CPU (iron rule 4); override for tests
+        fused = jax.default_backend() != "cpu"
+    fused = fused and n % max(n_chunks, 1) == 0
 
     def _f01(x):
         # uint8 wire format (see train_model_scan.step): convert on device

@@ -54,6 +54,19 @@ def read_log(filename: str) -> pd.DataFrame:
     return pd.read_table(filename, sep=",")
 
 
+def log_to_table(filename: str) -> pd.DataFrame:
+    """Old whitespace-separated (CompenNet-era) log file → DataFrame
+    (ref ``utils.py:697-704``)."""
+    return pd.read_table(filename, sep=r"\s+")
+
+
+def export_setup_info(setup_path: str, cfg) -> None:
+    """Write ``setup_info.yml`` for a setup (ref ``utils.py:656-670``)."""
+    from spaa_tpu.utils.config import OmegaConf
+    os.makedirs(setup_path, exist_ok=True)
+    OmegaConf.save(cfg, join(setup_path, "setup_info.yml"))
+
+
 def checkpoint_path(checkpoint_dir: str, title: str) -> str:
     os.makedirs(checkpoint_dir, exist_ok=True)
     return abspath(join(checkpoint_dir, title + ".flax"))
