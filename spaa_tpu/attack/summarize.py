@@ -428,11 +428,24 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
         phase_t["metrics"] = _time.time() - _t0
         _t0 = _time.time()
         # ---- pass 2.6: ALL cells' montage panels, ONE dispatch ----
+        # (panels feed ONLY the montages: skipped entirely when
+        # recreate_imgs=False and every cell's montages already exist —
+        # the panel pull is ~260 MB/setup on the benchmark shapes)
         prj_hw = (int(setup_info["prj_im_sz"][1]),
                   int(setup_info["prj_im_sz"][0]))
-        scene_rz, infer_rz_all, real_rz_all, diff_map_all = (
-            np.asarray(o) for o in _panels_all_device(
-                jnp.asarray(cam_scene), ci_all, cr_all, cp_sz, prj_hw))
+
+        def _montages_exist(c):
+            ret_dir = join(setup_path, "ret", c["folder"])
+            return (os.path.isdir(ret_dir)
+                    and len([f for f in os.listdir(ret_dir)
+                             if f.endswith(".png")]) >= m)
+
+        need_montage = [recreate_imgs or not _montages_exist(c)
+                        for c in cells]
+        if any(need_montage):
+            scene_rz, infer_rz_all, real_rz_all, diff_map_all = (
+                np.asarray(o) for o in _panels_all_device(
+                    jnp.asarray(cam_scene), ci_all, cr_all, cp_sz, prj_hw))
 
         phase_t["panels"] = _time.time() - _t0
         _t0 = _time.time()
@@ -453,16 +466,14 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
             # (same definition as the stealth L2 primitive)
             # panels stay uint8 end-to-end (attack_results as_uint8):
             # the per-montage float round-trips were the PNG-write hotspot
-            panels = (scene_rz, infer_rz_all[sl_cell],
-                      real_rz_all[sl_cell],
-                      prj_vals[2], infer_vals[2], real_vals[2],
-                      diff_map_all[sl_cell])
+            panels = None
+            if need_montage[k]:
+                panels = (scene_rz, infer_rz_all[sl_cell],
+                          real_rz_all[sl_cell],
+                          prj_vals[2], infer_vals[2], real_vals[2],
+                          diff_map_all[sl_cell])
 
-            ret_dir = join(setup_path, "ret", c["folder"])
-            have_all = (os.path.isdir(ret_dir)
-                        and len([f for f in os.listdir(ret_dir)
-                                 if f.endswith(".png")]) >= m)
-            if recreate_imgs or not have_all:
+            if need_montage[k]:
                 def render(ret=ret, prj_adv=c["prj_adv"], panels=panels,
                            folder=c["folder"]):
                     montage = [attack_results(ret, t, imagenet_labels,

@@ -112,6 +112,31 @@ def test_stats_xlsx_written_and_readable(two_setup_results):
     assert rows[1][col] == pytest.approx(stats["All.real_L2"][0], abs=1e-4)
 
 
+def test_recreate_imgs_false_skips_existing_montages(two_setup_results):
+    """Stats-only mode: montages that already exist are not rewritten (and
+    the panels device pass is skipped), while stats.txt is recomputed."""
+    import glob
+    import time
+    root = two_setup_results
+    kw = dict(classifier_names=["resnet18"], stealth_losses=["caml2"],
+              d_threshes=[5])
+    summarize_single_attacker("SPAA", root, ["s1"], **kw)   # montages exist
+    pngs = sorted(glob.glob(join(root, "setups/s1/ret/**/img_*.png"),
+                            recursive=True))
+    assert len(pngs) == 11
+    before = {p: os.path.getmtime(p) for p in pngs}
+    stats = join(root, "setups/s1/ret",
+                 to_attacker_cfg_str("SPAA")[0], "stats.txt")
+    stats_before = os.path.getmtime(stats)
+    time.sleep(0.05)
+    df = summarize_single_attacker("SPAA", root, ["s1"],
+                                   recreate_imgs=False, **kw)
+    assert len(df) == 1
+    assert os.path.getmtime(stats) > stats_before, "stats recomputed"
+    after = {p: os.path.getmtime(p) for p in pngs}
+    assert before == after, "montages must not be rewritten"
+
+
 def test_summarize_all_attackers_writes_xlsx(two_setup_results):
     from spaa_tpu.attack.summarize import summarize_all_attackers
     root = two_setup_results
