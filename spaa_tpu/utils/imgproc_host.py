@@ -269,6 +269,34 @@ def to_pseudocolor(x: np.ndarray, colormap=cv.COLORMAP_JET) -> np.ndarray:
     return cv.cvtColor(cm, cv.COLOR_BGR2RGB).astype(np.float32) / 255.0
 
 
+def montage(im_in: np.ndarray, grid_shape=None, padding_width: int = 5,
+            fill=(1, 1, 1)) -> np.ndarray:
+    """Auto-square-grid montage of NHWC float images (ref
+    ``utils.py:301-331``: rows = ceil(sqrt(N)), cols = ceil(N/rows);
+    also accepts the reference's (row, col, C, N) numpy layout)."""
+    im = np.asarray(im_in)
+    assert im.ndim == 4, "requires a 4-D array"
+    if im.shape[-1] not in (1, 3) and im.shape[-2] in (1, 3):
+        im = im.transpose(3, 0, 1, 2)      # (H, W, C, N) → (N, H, W, C)
+    n = im.shape[0]
+    if grid_shape is None:
+        rows = int(np.ceil(np.sqrt(n)))
+        cols = int(np.ceil(n / rows))
+    else:
+        rows, cols = grid_shape
+    h, w, c = im.shape[1:]
+    p = padding_width
+    gh = rows * (h + p) + p
+    gw = cols * (w + p) + p
+    grid = np.empty((gh, gw, c), im.dtype)
+    grid[...] = np.asarray(fill, im.dtype)[:c]
+    for k in range(n):
+        r, col = divmod(k, cols)
+        y0, x0 = r * (h + p) + p, col * (w + p) + p
+        grid[y0:y0 + h, x0:x0 + w] = im[k]
+    return grid
+
+
 def make_grid_transposed(images: np.ndarray, nrow: int = 8,
                          padding: int = 2,
                          pad_value: float = 0.0) -> np.ndarray:

@@ -107,3 +107,11 @@ def test_utility_shims(tmp_path):
     b = jnp.asarray(np.full((2, 4, 4, 3), 0.6, np.float32))
     assert float(huber(a, a)) == pytest.approx(0.0, abs=1e-6)
     assert float(huber(a, b)) > 0
+
+    from spaa_tpu.utils.imgproc_host import montage
+    ims = np.random.default_rng(0).random((5, 8, 6, 3)).astype(np.float32)
+    g = montage(ims)                       # 5 → 3x2 grid (rows=ceil(sqrt))
+    assert g.shape == (3 * 13 + 5, 2 * 11 + 5, 3)
+    # reference (H, W, C, N) layout accepted
+    g2 = montage(ims.transpose(1, 2, 3, 0))
+    np.testing.assert_array_equal(g, g2)
