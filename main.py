@@ -57,8 +57,50 @@ def main() -> None:
     ap.add_argument("--prj-offset", type=int, nargs=2, default=(1920, 0),
                     help="projector window position (second display)")
     ap.add_argument("--load-pretrained", action="store_true")
+    # debug/CI budget knobs (defaults keep full reference budgets)
+    ap.add_argument("--train-iters", type=int, default=None,
+                    help="debug/CI: override model training budget")
+    ap.add_argument("--attack-iters", type=int, default=None,
+                    help="debug/CI: override attack iteration budget")
+    ap.add_argument("--classifiers", nargs="*", default=None,
+                    help="debug/CI: restrict the classifier zoo")
+    ap.add_argument("--stealth-losses", nargs="*", default=None)
+    ap.add_argument("--d-threshes", nargs="*", type=int, default=None)
+    ap.add_argument("--op-budget", nargs=4, type=int, default=None,
+                    metavar=("PIXEL_SIZE", "MAXITER", "POP_U", "POP_T"),
+                    help="debug/CI: One-pixel_DE budget overrides")
+    ap.add_argument("--sim-size", nargs=4, type=int, default=None,
+                    metavar=("PRJ_W", "PRJ_H", "CAM_W", "CAM_H"),
+                    help="debug/CI: shrink the simulator image sizes")
+    ap.add_argument("--num-train", type=int, default=500,
+                    help="simulator training-pair count (step 2)")
     args = ap.parse_args()
     steps = _parse_steps(args.steps)
+
+    def _apply_attack_overrides(cfg, grids: bool = False):
+        # grids=True only for SPAA: the other attackers' stealth/d_thr
+        # grids are fixed attacker-specific contracts
+        if args.classifiers:
+            cfg.classifier_names = list(args.classifiers)
+        if grids and args.stealth_losses:
+            cfg.stealth_losses = list(args.stealth_losses)
+        if grids and args.d_threshes:
+            cfg.d_threshes = list(args.d_threshes)
+        if args.attack_iters:
+            cfg.attack_iters = int(args.attack_iters)
+        if args.train_iters:
+            cfg.max_iters = int(args.train_iters)
+            cfg.init_max_iters = int(args.train_iters)
+        if args.op_budget:
+            (cfg.op_pixel_size, cfg.op_maxiter, cfg.op_popsize_untargeted,
+             cfg.op_popsize_targeted) = (int(v) for v in args.op_budget)
+        return cfg
+
+    _summarize_kw = dict(
+        classifier_names=list(args.classifiers) if args.classifiers else None,
+        stealth_losses=(list(args.stealth_losses) if args.stealth_losses
+                        else None),
+        d_threshes=list(args.d_threshes) if args.d_threshes else None)
 
     from spaa_tpu.utils.config import DictConfig, OmegaConf
     from spaa_tpu.utils.seed import reset_rng_seeds
@@ -79,7 +121,13 @@ def main() -> None:
     else:
         from spaa_tpu.utils.sim_procams import (DEFAULT_SIM_SETUP_INFO,
                                                 SimProCams)
-        procams = SimProCams(dict(DEFAULT_SIM_SETUP_INFO))
+        info = dict(DEFAULT_SIM_SETUP_INFO)
+        if args.sim_size:
+            pw, ph, cw, ch = (int(v) for v in args.sim_size)
+            cp = min(cw, ch)
+            info.update(prj_im_sz=[pw, ph], cam_im_sz=[cw, ch],
+                        classifier_crop_sz=[cp, cp])
+        procams = SimProCams(info)
 
     # ---- 1. setup info + directories (ref main.py:19-33,99)
     if 1 in steps:
@@ -89,6 +137,11 @@ def main() -> None:
         if os.path.exists(info_path):
             setup_info = OmegaConf.load(info_path)
             print(f"Loaded existing {info_path}")
+        elif not args.hardware:
+            # simulator mode: the backend's own knobs ARE the setup info
+            setup_info = DictConfig(dict(procams.setup_info))
+            OmegaConf.save(setup_info, info_path)
+            print(f"Wrote simulator {info_path}")
         else:
             setup_info = DictConfig(dict(
                 prj_screen_sz=[800, 600], prj_im_sz=[256, 256],
@@ -115,8 +168,9 @@ def main() -> None:
             from spaa_tpu.utils.procams import sync_test
             sync_test(procams, data_root)   # exercises the same contract
             print("[sim] generating synthetic captures for the full setup")
-            procams.make_setup(data_root, setup_name, num_train=500,
-                               num_test=200)
+            n_train = int(args.num_train)
+            procams.make_setup(data_root, setup_name, num_train=n_train,
+                               num_test=max(n_train * 2 // 5, 2))
 
     # ---- 3. classifiers must agree on the clean scene (ref main.py:128-135)
     if 3 in steps:
@@ -132,7 +186,8 @@ def main() -> None:
         labels = load_imagenet_labels(
             join(data_root, "imagenet1000_clsidx_to_labels.txt"))
         cp_sz = tuple(int(c) for c in info["classifier_crop_sz"])
-        names = ["inception_v3", "resnet18", "vgg16"]
+        names = (list(args.classifiers) if args.classifiers
+                 else ["inception_v3", "resnet18", "vgg16"])
         pred, _ = query_multi_classifiers(
             jnp.asarray(cam_scene)[None], cp_sz, names, labels)
         if all(params_source(n) != "random" for n in names):
@@ -153,27 +208,32 @@ def main() -> None:
         from spaa_tpu.train import get_model_train_cfg, train_eval_pcnet
         cfg = get_model_train_cfg(["PCNet"], data_root, [setup_name],
                                   load_pretrained=args.load_pretrained)
+        if args.train_iters:
+            cfg.max_iters = int(args.train_iters)
         train_eval_pcnet(cfg)
 
     # ---- 5. SPAA attack sweep (ref main.py:148-156)
     if 5 in steps:
         from spaa_tpu.attack import (get_attacker_cfg,
                                      run_projector_based_attack)
-        cfg = get_attacker_cfg("SPAA", data_root, [setup_name],
-                               load_pretrained=True)
+        cfg = _apply_attack_overrides(
+            get_attacker_cfg("SPAA", data_root, [setup_name],
+                             load_pretrained=True), grids=True)
         run_projector_based_attack(cfg)
 
     # ---- 6. re-project + capture the adversarial images (ref main.py:158-166)
     if 6 in steps:
         from spaa_tpu.attack import (get_attacker_cfg,
                                      project_capture_real_attack)
-        cfg = get_attacker_cfg("SPAA", data_root, [setup_name])
+        cfg = _apply_attack_overrides(
+            get_attacker_cfg("SPAA", data_root, [setup_name]), grids=True)
         project_capture_real_attack(cfg, procams)
 
     # ---- 7. summarize SPAA (ref main.py:166)
     if 7 in steps:
         from spaa_tpu.attack import summarize_single_attacker
-        df = summarize_single_attacker("SPAA", data_root, [setup_name])
+        df = summarize_single_attacker("SPAA", data_root, [setup_name],
+                                       **_summarize_kw)
         print(df.head())
 
     # ---- 8. PerC-AL+CompenNet++: train CompenNet++, attack, capture,
@@ -183,12 +243,14 @@ def main() -> None:
                                      project_capture_real_attack,
                                      run_projector_based_attack,
                                      summarize_single_attacker)
-        cfg = get_attacker_cfg("PerC-AL+CompenNet++", data_root,
-                               [setup_name], load_pretrained=True)
+        cfg = _apply_attack_overrides(
+            get_attacker_cfg("PerC-AL+CompenNet++", data_root,
+                             [setup_name], load_pretrained=True))
         cfg = run_projector_based_attack(cfg)
         project_capture_real_attack(cfg, procams)
-        df = summarize_single_attacker("PerC-AL+CompenNet++", data_root,
-                                       [setup_name])
+        df = summarize_single_attacker(
+            "PerC-AL+CompenNet++", data_root, [setup_name],
+            classifier_names=_summarize_kw["classifier_names"])
         print(df.head())
 
     # ---- 9. One-pixel_DE: no training; real adversarial projections are
@@ -197,10 +259,12 @@ def main() -> None:
         from spaa_tpu.attack import (get_attacker_cfg,
                                      run_projector_based_attack,
                                      summarize_single_attacker)
-        cfg = get_attacker_cfg("One-pixel_DE", data_root, [setup_name])
+        cfg = _apply_attack_overrides(
+            get_attacker_cfg("One-pixel_DE", data_root, [setup_name]))
         run_projector_based_attack(cfg, procams=procams)
-        df = summarize_single_attacker("One-pixel_DE", data_root,
-                                       [setup_name])
+        df = summarize_single_attacker(
+            "One-pixel_DE", data_root, [setup_name],
+            classifier_names=_summarize_kw["classifier_names"])
         print(df.head())
 
     # ---- 10. summarize all attackers → stats_all + pivot table ≙ paper
