@@ -127,6 +127,16 @@ def main() -> None:
             cp = min(cw, ch)
             info.update(prj_im_sz=[pw, ph], cam_im_sz=[cw, ch],
                         classifier_crop_sz=[cp, cp])
+        # an existing setup_info.yml wins: the simulator must capture at
+        # the sizes every downstream step will read back from the yml
+        info_path = join(setup_path, "setup_info.yml")
+        if os.path.exists(info_path):
+            existing = dict(OmegaConf.load(info_path))
+            if args.sim_size and (list(existing.get("prj_im_sz", []))
+                                  != info["prj_im_sz"]):
+                print(f"WARNING: --sim-size ignored — existing {info_path} "
+                      "wins (delete the setup directory to change sizes)")
+            info = existing
         procams = SimProCams(info)
 
     # ---- 1. setup info + directories (ref main.py:19-33,99)
@@ -161,7 +171,7 @@ def main() -> None:
                 adjust_setup_brightness_and_pose, capture_setup_data,
                 sync_test)
             # interactive brightness/pose/exposure check (ref main.py:41-50)
-            adjust_setup_brightness_and_pose(procams.setup_info)
+            adjust_setup_brightness_and_pose(procams)
             sync_test(procams, data_root)
             capture_setup_data(procams, data_root, setup_name)
         else:

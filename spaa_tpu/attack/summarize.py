@@ -22,9 +22,8 @@ import pandas as pd
 
 from spaa_tpu.attack.orchestrate import to_attacker_cfg_str
 from spaa_tpu.models.classifiers import Classifier, load_imagenet_labels
-from spaa_tpu.ops.image import center_crop, expand_4d, resize_area
-from spaa_tpu.ops.metrics import (calc_img_dists, dists_from_per_sample,
-                                  per_sample_img_dists)
+from spaa_tpu.ops.image import center_crop, resize_area
+from spaa_tpu.ops.metrics import dists_from_per_sample, per_sample_img_dists
 
 
 def _as_float01(x):
@@ -216,6 +215,22 @@ def attack_results(ret, t, imgnet_labels, im_gray, prj_adv, cam_scene,
         as_uint8=as_uint8)
 
 
+def _write_stats_txt(table, ret_path: str) -> None:
+    os.makedirs(ret_path, exist_ok=True)
+    path = join(ret_path, "stats.txt")
+    if len(table) == 0 and os.path.exists(path):
+        try:
+            old_rows = len(pd.read_csv(path, sep="\t"))
+        except Exception:
+            old_rows = 0
+        if old_rows:
+            print(f"WARNING: overwriting {path} ({old_rows} rows) with an "
+                  "EMPTY stats table — every result cell of this attacker "
+                  "is missing or incomplete (reference semantics: stats "
+                  "reflect the current result folders)")
+    table.to_csv(path, index=False, float_format="%.4f", sep="\t")
+
+
 def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
                               weights_dir: Optional[str] = None,
                               stealth_losses=None, d_threshes=None,
@@ -350,10 +365,8 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
         if not cells:
             print(f"\n---- [{attacker_name}] results on [{setup_name}] ----")
             print(table.to_string(index=False, float_format="%.4f"))
-            ret_path = join(setup_path, "ret", attacker_cfg_str)
-            os.makedirs(ret_path, exist_ok=True)
-            table.to_csv(join(ret_path, "stats.txt"), index=False,
-                         float_format="%.4f", sep="\t")
+            _write_stats_txt(table, join(setup_path, "ret",
+                                         attacker_cfg_str))
             continue
 
         phase_t["io"] = _time.time() - _t0
@@ -371,10 +384,8 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
                       f"{c['folder']} — skipping")
         cells = [c for c, is_ok in zip(cells, complete) if is_ok]
         if not cells:
-            ret_path = join(setup_path, "ret", attacker_cfg_str)
-            os.makedirs(ret_path, exist_ok=True)
-            table.to_csv(join(ret_path, "stats.txt"), index=False,
-                         float_format="%.4f", sep="\t")
+            _write_stats_txt(table, join(setup_path, "ret",
+                                         attacker_cfg_str))
             continue
         pa_all = jnp.asarray(np.concatenate([c["prj_adv"] for c in cells]))
         ci_all = jnp.asarray(np.concatenate([c["cam_infer"] for c in cells]))
@@ -529,9 +540,7 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
         print(table.to_string(index=False, float_format="%.4f"))
 
         ret_path = join(setup_path, "ret", attacker_cfg_str)
-        os.makedirs(ret_path, exist_ok=True)
-        table.to_csv(join(ret_path, "stats.txt"), index=False,
-                     float_format="%.4f", sep="\t")
+        _write_stats_txt(table, ret_path)
         to_excel(table, join(ret_path, "stats.xlsx"), index=False)
     # Return every processed setup's rows concatenated. Documented deviation
     # (PARITY.md): the reference returns only the LAST setup's table — the

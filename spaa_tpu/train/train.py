@@ -183,15 +183,38 @@ def train_model_scan(apply_loss_fn: Callable, params, tx, train_arrays: dict,
     ``utils.py:717-721``).
     """
     import os as _os
+    import zlib as _zlib
 
     from spaa_tpu.utils import log as L
 
+    def _data_fingerprint() -> int:
+        # identifies the training data + index plan: shapes/dtypes, a few
+        # strided sample images, and the whole (small) batch-index array.
+        # Guards against resuming a stale snapshot after the setup was
+        # re-captured under the same config string.
+        h = 0
+        for key in ("inputs", "targets"):
+            a = np.asarray(train_arrays[key])
+            h = _zlib.crc32(f"{a.shape}{a.dtype}".encode(), h)
+            step = max(1, a.shape[0] // 4)
+            h = _zlib.crc32(np.ascontiguousarray(a[::step]).tobytes(), h)
+        return _zlib.crc32(np.asarray(batch_idx).tobytes(), h)
+
     opt_state = tx.init(params)
     start_it = 0
+    data_fp = _data_fingerprint() if resume_path is not None else 0
     if resume_path is not None and _os.path.exists(resume_path):
-        params, opt_state, start_it = L.load_train_state(resume_path, params,
-                                                         opt_state)
-        print(f"{log_prefix}Resuming from {resume_path} at iter {start_it}")
+        p2, o2, it2, fp2 = L.load_train_state(resume_path, params, opt_state)
+        if fp2 != data_fp:
+            print(f"{log_prefix}WARNING: {resume_path} was written for "
+                  "DIFFERENT training data or index plan (the setup was "
+                  "re-captured or the config reused) — discarding the "
+                  "stale snapshot and training from scratch")
+            _os.remove(resume_path)
+        else:
+            params, opt_state, start_it = p2, o2, it2
+            print(f"{log_prefix}Resuming from {resume_path} "
+                  f"at iter {start_it}")
     inputs = jax.device_put(train_arrays["inputs"])
     targets = jax.device_put(train_arrays["targets"])
     idx_all = jax.device_put(jnp.asarray(batch_idx))
@@ -251,7 +274,8 @@ def train_model_scan(apply_loss_fn: Callable, params, tx, train_arrays: dict,
         nonlocal valid_psnr, valid_rmse, valid_ssim
         it_done, loss_last, l2_last, vout, p_done, o_done = state
         if resume_path is not None:
-            L.save_train_state(resume_path, p_done, o_done, it_done)
+            L.save_train_state(resume_path, p_done, o_done, it_done,
+                               fingerprint=data_fp)
         loss_v = float(loss_last)
         rmse_v = math.sqrt(float(l2_last) * 3)
         if vout is not None:

@@ -201,9 +201,14 @@ def create_number_pattern(w: int, h: int, count: int = 10) -> np.ndarray:
 
 def _get_font(font_sz: int):
     """Cached PIL font (truetype loading is disk I/O — the montage path
-    annotates ~11 strings x hundreds of montages per summarize)."""
+    annotates ~11 strings x hundreds of montages per summarize). The
+    cache is THREAD-LOCAL: summarize renders montages from a thread pool
+    and FreeType face objects are not safe to render from concurrently."""
     from PIL import ImageFont
-    font = _FONT_CACHE.get(font_sz)
+    cache = getattr(_FONT_CACHE, "fonts", None)
+    if cache is None:
+        cache = _FONT_CACHE.fonts = {}
+    font = cache.get(font_sz)
     if font is None:
         try:
             font = ImageFont.truetype(
@@ -211,11 +216,13 @@ def _get_font(font_sz: int):
                 "LiberationSans-Regular.ttf", font_sz)
         except OSError:
             font = ImageFont.load_default()
-        _FONT_CACHE[font_sz] = font
+        cache[font_sz] = font
     return font
 
 
-_FONT_CACHE: dict = {}
+import threading as _threading
+
+_FONT_CACHE = _threading.local()
 
 
 def insert_text(im_hwc: np.ndarray, text: str, pos, font_sz: int = 14,

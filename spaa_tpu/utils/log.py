@@ -96,18 +96,23 @@ def resume_path(checkpoint_dir: str, title: str) -> str:
     return checkpoint_path(checkpoint_dir, title) + ".resume.npz"
 
 
-def save_train_state(path: str, params, opt_state, itr: int) -> None:
+def save_train_state(path: str, params, opt_state, itr: int,
+                     fingerprint: int = 0) -> None:
     """Atomic (params, optimizer state, iteration) snapshot — the
     improvement over the reference's params-only save-at-end
     (ref ``utils.py:717-721``): a killed run resumes mid-train with the
     exact Adam moments and schedule step, reproducing the uninterrupted
     trajectory. Stored as flat npz leaves; the pytree structure is
-    recovered from templates on load."""
+    recovered from templates on load. ``fingerprint`` identifies the
+    training data + index plan so a stale snapshot (e.g. the setup was
+    re-captured under the same config string) is detected and discarded
+    instead of silently resuming against different data."""
     import jax
     import numpy as np
     leaves = jax.tree.leaves((params, opt_state))
     payload = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
     payload["iter"] = np.int64(itr)
+    payload["fingerprint"] = np.uint64(fingerprint)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:   # file handle: savez must not append .npz
         np.savez(f, **payload)
@@ -116,7 +121,7 @@ def save_train_state(path: str, params, opt_state, itr: int) -> None:
 
 def load_train_state(path: str, params_template, opt_state_template):
     """Restore a :func:`save_train_state` snapshot into the structure of
-    the given templates. Returns (params, opt_state, iter)."""
+    the given templates. Returns (params, opt_state, iter, fingerprint)."""
     import jax
     import numpy as np
     treedef = jax.tree.structure((params_template, opt_state_template))
@@ -124,8 +129,9 @@ def load_train_state(path: str, params_template, opt_state_template):
         n = sum(1 for k in data.files if k.startswith("leaf_"))
         leaves = [data[f"leaf_{i}"] for i in range(n)]
         itr = int(data["iter"])
+        fp = int(data["fingerprint"]) if "fingerprint" in data.files else 0
     params, opt_state = jax.tree.unflatten(treedef, leaves)
-    return params, opt_state, itr
+    return params, opt_state, itr, fp
 
 
 def print_sys_info() -> None:

@@ -73,16 +73,24 @@ def init_cam(cam_raw_sz=None):
 
 
 def _center_crop_np(im: np.ndarray, size_wh) -> np.ndarray:
-    tw, th = size_wh
     h, w = im.shape[:2]
+    # clamp to the source size: a crop request larger than the frame must
+    # not produce negative offsets (garbage corner crops)
+    tw, th = min(int(size_wh[0]), w), min(int(size_wh[1]), h)
     i = int(round((h - th) / 2.0))
     j = int(round((w - tw) / 2.0))
     return im[i:i + th, j:j + tw]
 
 
-def preview_cam(cam_raw_sz=None, cam_crop_sz=None):
-    """Live preview until 'q' (ref ``utils.py:554-575``)."""
-    cam = init_cam(cam_raw_sz)
+def preview_cam(cam_raw_sz=None, cam_crop_sz=None, cam=None):
+    """Live preview until 'q' (ref ``utils.py:554-575``).
+
+    ``cam``: reuse an already-open VideoCapture (single-consumer camera
+    backends reject a second open of the same device) — it is then left
+    open for the caller."""
+    own = cam is None
+    if own:
+        cam = init_cam(cam_raw_sz)
     while True:
         ok, im_cam = cam.read()
         if not ok:
@@ -92,7 +100,8 @@ def preview_cam(cam_raw_sz=None, cam_crop_sz=None):
         cv.imshow("Camera preview (press q to exit)", im)
         if cv.waitKey(1) == ord("q"):
             break
-    cam.release()
+    if own:
+        cam.release()
     cv.destroyAllWindows()
 
 
@@ -180,18 +189,25 @@ def project_capture_data(prj_input_path: str, cam_cap_path: str, setup_info,
         plt.close("all")
 
 
-def adjust_setup_brightness_and_pose(setup_info) -> None:
+def adjust_setup_brightness_and_pose(procams) -> None:
     """Interactive pre-capture check (ref ``main.py:41-50``): project
     black / setup-gray / white fullscreen windows so the operator can
     adjust projector brightness, focus, and the object pose, with a live
     camera preview (press 'q' to finish). Hardware-only UX — call before
-    :func:`capture_setup_data`."""
+    :func:`capture_setup_data`.
+
+    Takes the live ``HardwareProCams`` (not just setup_info): its open
+    camera is reused — a second ``VideoCapture`` of the same device fails
+    on single-consumer backends."""
     import matplotlib.pyplot as plt
+    setup_info = procams.setup_info
     for brightness in [0.0, float(setup_info["prj_brightness"]), 1.0]:
         init_prj_window(*setup_info["prj_screen_sz"], brightness,
                         setup_info["prj_offset"])
-    preview_cam(setup_info["cam_raw_sz"],
-                (800, 600))  # ref main.py:50 preview crop
+    # ref main.py:50 previews an (800, 600) crop; _center_crop_np clamps
+    # to the actual frame size for smaller cameras
+    preview_cam(setup_info["cam_raw_sz"], (800, 600),
+                cam=getattr(procams, "cam", None))
     plt.close("all")
 
 

@@ -135,10 +135,9 @@ def to_excel(df, path: str, index: bool = False,
     still stored as a number)."""
     import pandas as pd
     if index:
-        named = all(n is not None for n in df.index.names)
+        # index levels become leading columns (pandas names unnamed levels
+        # 'index' / 'level_N' — those names are written as the headers)
         df = df.reset_index()
-        if not named:   # unnamed index → pandas calls the column 'index'
-            df = df.rename(columns={"level_0": "index"})
     header = [str(c) if not isinstance(c, tuple) else "_".join(map(str, c))
               for c in df.columns]
     rows = [header]

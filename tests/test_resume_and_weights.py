@@ -80,9 +80,9 @@ def test_resume_roundtrips_optimizer_state(tmp_path):
     tx = optax.chain(optax.add_decayed_weights(1e-4), optax.adam(1e-3))
     opt_state = tx.init(params)
     path = str(tmp_path / "state.npz")
-    L.save_train_state(path, params, opt_state, 123)
-    p2, s2, it = L.load_train_state(path, params, opt_state)
-    assert it == 123
+    L.save_train_state(path, params, opt_state, 123, fingerprint=0xBEEF)
+    p2, s2, it, fp = L.load_train_state(path, params, opt_state)
+    assert it == 123 and fp == 0xBEEF
     ref_leaves = [np.asarray(x) for x in
                   __import__("jax").tree.leaves((params, opt_state))]
     got_leaves = [np.asarray(x) for x in
