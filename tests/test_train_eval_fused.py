@@ -85,6 +85,35 @@ def test_train_loop_with_async_validation_matches_sync():
     assert psnr1 == pytest.approx(psnr2, abs=1e-4)
 
 
+def test_uint8_wire_trajectory_equivalent():
+    """uint8 wire tensors (k cast to f32 and /255 on device) produce the
+    same training trajectory as the float k/255 tensors up to compiler
+    reassociation of the /255 (measured ulp-level, ~4e-8 after 20 Adam
+    iters) — the input VALUES are bit-identical; only fusion differs."""
+    rng = np.random.default_rng(9)
+    x_u8 = rng.integers(0, 256, (16, 2, 2, 3), np.uint8)
+    y_u8 = rng.integers(0, 256, (16, 1, 2, 3), np.uint8)
+    x_f = x_u8.astype(np.float32) / 255.0
+    y_f = y_u8.astype(np.float32) / 255.0
+    params = {"w": jnp.zeros((12, 6), jnp.float32)}
+
+    def loss_fn(p, xb, yb, itr):
+        del itr
+        pred = (xb.reshape(xb.shape[0], -1) @ p["w"]).reshape(yb.shape)
+        l2 = jnp.mean((pred - yb) ** 2)
+        return l2, l2
+
+    tx = optax.adam(1e-2)
+    idx = sample_batch_indices(16, 8, 20, __import__("random").Random(2))
+    cfg = DictConfig(dict(max_iters=20, valid_rate=10))
+    p_u8, *_ = train_model_scan(loss_fn, params, tx,
+                                dict(inputs=x_u8, targets=y_u8), idx, cfg)
+    p_f, *_ = train_model_scan(loss_fn, params, tx,
+                               dict(inputs=x_f, targets=y_f), idx, cfg)
+    np.testing.assert_allclose(np.asarray(p_u8["w"]), np.asarray(p_f["w"]),
+                               rtol=0, atol=1e-6)
+
+
 def test_utility_shims(tmp_path):
     from spaa_tpu.models.classifiers import idx_to_label
     from spaa_tpu.utils.log import export_setup_info, log_to_table
