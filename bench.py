@@ -357,6 +357,35 @@ def _bench_train_e2e(log, force):
     return e2e
 
 
+def _bench_summarize(log):
+    """Full-recreate SPAA summarize wall-clock for one benchmark setup
+    (36 cells, 396 montages) when the --sim artifacts are present —
+    BASELINE.md's third tracked metric (ref anchor: ~30 min for 13 setups,
+    ``reproduce_paper_results.py:71``). Returns None when unavailable."""
+    import os
+    from os.path import basename, dirname, isdir, join
+    _, setup_path = _find_sim_artifacts(log)
+    if setup_path is None:
+        return None
+    data_root = dirname(dirname(setup_path))
+    try:
+        from spaa_tpu.attack.orchestrate import to_attacker_cfg_str
+        from spaa_tpu.attack.summarize import summarize_single_attacker
+        cfg_str = to_attacker_cfg_str("SPAA")[0]
+        if not isdir(join(setup_path, "prj/adv", cfg_str)):
+            return None
+        t0 = time.time()
+        df = summarize_single_attacker("SPAA", data_root,
+                                       [basename(setup_path)])
+        dt = time.time() - t0
+        log(f"[bench] SPAA summarize ({len(df)} cells, full recreate): "
+            f"{dt:.1f}s")
+        return dt
+    except Exception as e:   # never fail the headline over a side metric
+        log(f"[bench] summarize bench skipped: {e}")
+        return None
+
+
 def main() -> None:
     import jax
     import numpy as np
@@ -397,6 +426,7 @@ def main() -> None:
     with contextlib.redirect_stdout(buf):
         train_ips = _bench_train_step(log, force)
         train_e2e = _bench_train_e2e(log, force)
+        summarize_s = _bench_summarize(log)
 
     per_config = best / N_CONFIGS
     print(json.dumps({
@@ -409,6 +439,8 @@ def main() -> None:
             "pcnet_train_iters_per_s": round(train_ips, 2),
             "pcnet_train_2000it_s": round(2000 / train_ips, 1),
             "pcnet_train_e2e_s": round(train_e2e, 1),
+            **({"summarize_spaa_s_per_setup": round(summarize_s, 1)}
+               if summarize_s is not None else {}),
             "warp_source": warp_source,
             "sweep_wallclock_s": round(best, 3),
         },
