@@ -169,6 +169,25 @@ def test_vis_pcnet_process_montage(tmp_path):
     assert np.isfinite(montage).all()
 
 
+def test_profiling_trace_and_meter(tmp_path):
+    """jax.profiler trace context writes a trace dir; IterMeter counts."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from spaa_tpu.utils.profiling import IterMeter, trace
+    d = str(tmp_path / "trace")
+    with trace(d):
+        _ = jnp.arange(8).sum().block_until_ready()
+    assert os.path.isdir(d) and os.listdir(d), "trace dir must be written"
+    m = IterMeter()
+    m.update(3)
+    _time.sleep(0.01)
+    m.update(2)
+    assert m.elapsed > 0 and m.iters_per_sec > 0
+    assert "it/s" in str(m)
+
+
 def test_attack_results_standalone_montage():
     """attack_results without precomputed panels (public API fallback):
     builds the 5-panel annotated montage from raw arrays, uint8 or float."""
