@@ -253,9 +253,11 @@ def main() -> None:
                                      project_capture_real_attack,
                                      run_projector_based_attack,
                                      summarize_single_attacker)
+        # ref main.py:177 trains CompenNet++ fresh (load_pretrained=False);
+        # pass --load-pretrained explicitly to reuse a cached checkpoint
         cfg = _apply_attack_overrides(
-            get_attacker_cfg("PerC-AL+CompenNet++", data_root,
-                             [setup_name], load_pretrained=True))
+            get_attacker_cfg("PerC-AL+CompenNet++", data_root, [setup_name],
+                             load_pretrained=args.load_pretrained))
         cfg = run_projector_based_attack(cfg)
         project_capture_real_attack(cfg, procams)
         df = summarize_single_attacker(
