@@ -159,25 +159,36 @@ class DigitalOnePixelAttacker:
         def population_probs(logits_fn, params, img, pop):
             imgs = perturb(img, pop)
             raw = logits_fn(params, imgs, crop_sz)
-            return jax.nn.softmax(raw, axis=1)[:, target_idx]
+            p = jax.nn.softmax(raw, axis=1)
+            # target prob for the DE cost + (pred, pmax) so the callback
+            # needs no extra dispatch per generation
+            return p[:, target_idx], jnp.argmax(p, axis=1), jnp.max(p, axis=1)
+
+        pred_cache: dict = {}
 
         def fitness(pop):
-            probs = np.asarray(population_probs(
+            probs, preds, pmaxs = (np.asarray(o) for o in population_probs(
                 classifier._logits_fn, classifier.params, im,
                 jnp.asarray(pop)))
+            for x, pr, pm in zip(pop, preds, pmaxs):
+                pred_cache[np.asarray(x, np.float64).tobytes()] = (int(pr),
+                                                                   float(pm))
             return (1.0 - probs) if targeted_attack else probs
 
         def callback(best_x):
-            raw, _, _ = classifier(
-                perturb(im, jnp.asarray(best_x[None]))[0],
-                self.classifier_crop_sz)
-            pp = np.asarray(jax.nn.softmax(raw, axis=1))
-            pred = int(pp[0].argmax())
+            hit = pred_cache.get(np.asarray(best_x, np.float64).tobytes())
+            if hit is None:   # defensive fallback: one extra classify
+                raw, _, _ = classifier(
+                    perturb(im, jnp.asarray(best_x[None]))[0],
+                    self.classifier_crop_sz)
+                pp = np.asarray(jax.nn.softmax(raw, axis=1))
+                hit = (int(pp[0].argmax()), float(pp[0].max()))
+            pred, pmax = hit
             if verbose:
                 tag = (f"Target: {self.class_names[target_idx]:<20} "
                        if targeted_attack else "Untargeted | ")
                 print(f"{tag}Pred: {self.class_names[pred]:<20} "
-                      f"({pp[0].max():.2f})")
+                      f"({pmax:.2f})")
             return ((targeted_attack and pred == target_idx)
                     or (not targeted_attack and pred != target_idx))
 
@@ -239,6 +250,13 @@ class ProjectorOnePixelAttacker:
         popmul = max(1, popsize // len(bounds))
         npop = popmul * len(bounds)
 
+        # every candidate's FULL prediction is known from its generation's
+        # batched classification; cache it so the per-generation callback
+        # needs no extra physical projection + capture + device dispatch
+        # (the re-projection would show the identical image — under camera
+        # noise the cached prediction is the one that actually scored)
+        pred_cache: dict = {}
+
         def fitness(pop):
             # captures are serial BY CONTRACT (one physical projection +
             # camera frame per candidate), but classification is not: the
@@ -251,20 +269,24 @@ class ProjectorOnePixelAttacker:
                  for x in pop], 0)
             raw, _, _ = classifier(cams, self.cp_sz)
             pp = np.asarray(jax.nn.softmax(raw, axis=1))
+            for x, row in zip(pop, pp):
+                pred_cache[np.asarray(x, np.float64).tobytes()] = row
             return (1.0 - pp[:, target_idx]) if targeted_attack \
                 else pp[:, target_idx]
 
         def callback(best_x):
-            _, cam = self.perturb_project_capture(best_x, im, pixel_size)
-            raw, _, _ = classifier(cam, self.cp_sz)
-            pp = np.asarray(jax.nn.softmax(raw, axis=1))
-            pred = int(pp[0].argmax())
+            row = pred_cache.get(np.asarray(best_x, np.float64).tobytes())
+            if row is None:   # not seen by fitness (defensive) — capture
+                _, cam = self.perturb_project_capture(best_x, im, pixel_size)
+                raw, _, _ = classifier(cam, self.cp_sz)
+                row = np.asarray(jax.nn.softmax(raw, axis=1))[0]
+            pred = int(row.argmax())
             if verbose:
                 tag = (f"Target: {self.class_names[target_idx]:<20} "
-                       f"({pp[0, target_idx]:.2f}) | "
+                       f"({row[target_idx]:.2f}) | "
                        if targeted_attack else "Untargeted | ")
                 print(f"{tag}Pred: {self.class_names[pred]:<20} "
-                      f"({pp[0].max():.2f}) | GT: {str(true_label):<15}")
+                      f"({row.max():.2f}) | GT: {str(true_label):<15}")
             return ((targeted_attack and pred == target_idx)
                     or (not targeted_attack and pred != target_idx))
 
