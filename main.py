@@ -117,7 +117,8 @@ def main() -> None:
         info_path = join(setup_path, "setup_info.yml")
         if not os.path.exists(info_path):
             raise SystemExit("run --steps 1 first to create setup_info.yml")
-        procams = HardwareProCams(_OC.load(info_path))
+        procams = HardwareProCams(_OC.load(info_path),
+                                  cam_index=args.cam_index)
     else:
         from spaa_tpu.utils.sim_procams import (DEFAULT_SIM_SETUP_INFO,
                                                 SimProCams)
@@ -132,8 +133,10 @@ def main() -> None:
         info_path = join(setup_path, "setup_info.yml")
         if os.path.exists(info_path):
             existing = dict(OmegaConf.load(info_path))
-            if args.sim_size and (list(existing.get("prj_im_sz", []))
-                                  != info["prj_im_sz"]):
+            if args.sim_size and any(
+                    list(existing.get(k, [])) != info[k]
+                    for k in ("prj_im_sz", "cam_im_sz",
+                              "classifier_crop_sz")):
                 print(f"WARNING: --sim-size ignored — existing {info_path} "
                       "wins (delete the setup directory to change sizes)")
             info = existing

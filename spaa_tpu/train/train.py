@@ -205,7 +205,15 @@ def train_model_scan(apply_loss_fn: Callable, params, tx, train_arrays: dict,
     data_fp = _data_fingerprint() if resume_path is not None else 0
     if resume_path is not None and _os.path.exists(resume_path):
         p2, o2, it2, fp2 = L.load_train_state(resume_path, params, opt_state)
-        if fp2 != data_fp:
+        if fp2 == 0:
+            # legacy snapshot (written before fingerprints existed): its
+            # provenance can't be verified — honor the invested compute
+            # but say so; new snapshots always carry a fingerprint
+            params, opt_state, start_it = p2, o2, it2
+            print(f"{log_prefix}Resuming from {resume_path} at iter "
+                  f"{start_it} (legacy snapshot without a data "
+                  "fingerprint — delete it to force a fresh run)")
+        elif fp2 != data_fp:
             print(f"{log_prefix}WARNING: {resume_path} was written for "
                   "DIFFERENT training data or index plan (the setup was "
                   "re-captured or the config reused) — discarding the "

@@ -56,11 +56,11 @@ def init_prj_window(prj_w: int, prj_h: int, val: float, offset=(3840, 0)):
     return ax
 
 
-def init_cam(cam_raw_sz=None):
+def init_cam(cam_raw_sz=None, index: int = 0):
     """OpenCV camera with single-frame buffer at max fps
-    (ref ``utils.py:536-551``)."""
-    cam = cv.VideoCapture(0, cv.CAP_DSHOW) if sys.platform == "win32" \
-        else cv.VideoCapture(0)
+    (ref ``utils.py:536-551``). ``index``: the VideoCapture device."""
+    cam = cv.VideoCapture(index, cv.CAP_DSHOW) if sys.platform == "win32" \
+        else cv.VideoCapture(index)
     if cam_raw_sz is not None:
         cam.set(cv.CAP_PROP_FRAME_WIDTH, cam_raw_sz[0])
         cam.set(cv.CAP_PROP_FRAME_HEIGHT, cam_raw_sz[1])
@@ -109,12 +109,12 @@ class HardwareProCams:
     """Object-style driver so attackers/tests can hold one interface for
     hardware and simulator (``capture``/``project_capture_data``)."""
 
-    def __init__(self, setup_info):
+    def __init__(self, setup_info, cam_index: int = 0):
         self.setup_info = setup_info
         self.prj = init_prj_window(*setup_info["prj_screen_sz"],
                                    setup_info["prj_brightness"],
                                    setup_info["prj_offset"])
-        self.cam = init_cam(setup_info["cam_raw_sz"])
+        self.cam = init_cam(setup_info["cam_raw_sz"], index=cam_index)
 
     def project(self, im_hwc: np.ndarray, delay_time: float = 0.3):
         import matplotlib.pyplot as plt
@@ -201,6 +201,7 @@ def adjust_setup_brightness_and_pose(procams) -> None:
     on single-consumer backends."""
     import matplotlib.pyplot as plt
     setup_info = procams.setup_info
+    existing_figs = set(plt.get_fignums())   # e.g. the ProCams prj window
     for brightness in [0.0, float(setup_info["prj_brightness"]), 1.0]:
         init_prj_window(*setup_info["prj_screen_sz"], brightness,
                         setup_info["prj_offset"])
@@ -208,7 +209,11 @@ def adjust_setup_brightness_and_pose(procams) -> None:
     # to the actual frame size for smaller cameras
     preview_cam(setup_info["cam_raw_sz"], (800, 600),
                 cam=getattr(procams, "cam", None))
-    plt.close("all")
+    # close ONLY the brightness windows opened here — plt.close('all')
+    # would also destroy the ProCams projector window, silently blanking
+    # every subsequent projection of the run
+    for num in set(plt.get_fignums()) - existing_figs:
+        plt.close(num)
 
 
 def sync_test(procams, data_root: str, setup_name: str = "sync_test",
