@@ -169,6 +169,19 @@ def test_vis_pcnet_process_montage(tmp_path):
     assert np.isfinite(montage).all()
 
 
+def test_center_crop_np_clamps_oversized_requests():
+    """A preview crop larger than the camera frame must clamp to the
+    frame (negative offsets produced garbage corner slivers)."""
+    from spaa_tpu.utils.procams import _center_crop_np
+    im = np.arange(480 * 640 * 3, dtype=np.uint8).reshape(480, 640, 3)
+    out = _center_crop_np(im, (800, 600))        # (w, h) larger than frame
+    assert out.shape == (480, 640, 3)
+    np.testing.assert_array_equal(out, im)
+    out2 = _center_crop_np(im, (320, 240))
+    assert out2.shape == (240, 320, 3)
+    np.testing.assert_array_equal(out2, im[120:360, 160:480])
+
+
 def test_profiling_trace_and_meter(tmp_path):
     """jax.profiler trace context writes a trace dir; IterMeter counts."""
     import time as _time

@@ -27,6 +27,17 @@ def test_write_read_roundtrip(tmp_path):
     assert got[3][0] is None and got[3][1] == "nan"
 
 
+def test_inf_and_nan_cells(tmp_path):
+    """Stats tables can hold inf PSNR (identical images); Excel has no
+    numeric inf/NaN cells, so they round-trip as their string forms."""
+    path = str(tmp_path / "inf.xlsx")
+    df = pd.DataFrame({"PSNR": [float("inf"), 30.0, float("nan")]})
+    to_excel(df, path, index=False)
+    rows = read_xlsx(path)
+    assert rows[1][0] == "inf" and rows[2][0] == 30.0
+    assert rows[3] in ([], [None])   # NaN → empty cell
+
+
 def test_is_valid_zip_package(tmp_path):
     """The file must be a well-formed xlsx package (zip with the four
     SpreadsheetML parts) so Excel/LibreOffice/pandas accept it."""
