@@ -280,8 +280,10 @@ def make_pcnet_fn(trained, use_pallas_warp: Optional[bool] = None,
 
     def pcnet_apply(st, prj):
         from spaa_tpu.models.pcnet import PCNetCache
-        s = jnp.broadcast_to(st["scene"],
-                             (prj.shape[0],) + st["scene"].shape[1:])
+        # the scene stays [1, H, W, 3]: ShadingNet runs its scene-only
+        # skipConv1 chain on ONE image and broadcasts at the final add
+        # (value-preserving; saves a B-wide conv chain per attack iter)
+        s = st["scene"]
         warped = None
         cache = st["cache"]
         if spec is not None:

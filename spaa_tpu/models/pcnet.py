@@ -59,9 +59,11 @@ class PCNet(nn.Module):
                  mask: Optional[jax.Array] = None,
                  cache: Optional[PCNetCache] = None,
                  warped: Optional[jax.Array] = None) -> jax.Array:
-        """x: projector input [N, Hp, Wp, 3]; s: camera scene [N, H, W, 3];
-        mask: [H, W, 1] or [1, H, W, 1] direct-light mask.
-        Ref forward ``models.py:335-345``.
+        """x: projector input [N, Hp, Wp, 3]; s: camera scene [N, H, W, 3]
+        or [1, H, W, 3] (a constant scene may stay unbroadcast — ShadingNet
+        then runs its scene-only skipConv1 chain on one image; see
+        ``ShadingNetSPAA.__call__``); mask: [H, W, 1] or [1, H, W, 1]
+        direct-light mask. Ref forward ``models.py:335-345``.
 
         ``warped``: optionally the already-warped projector image (e.g.
         from the Pallas fixed-grid warp kernel, ``ops.pallas.warp``) —

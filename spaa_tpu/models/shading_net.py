@@ -68,7 +68,16 @@ class ShadingNetSPAA(nn.Module):
     def surface_features(self, *surfaces: jax.Array) -> SurfaceFeatures:
         """Encode the conditioning surfaces (s[, rough]) once.
         Equivalent to ref ``simplify`` (``models.py:268-277``) but
-        functional: the returned tuple is passed back into ``__call__``."""
+        functional: the returned tuple is passed back into ``__call__``.
+
+        Surfaces may carry different batch sizes (the constant scene can be
+        passed as [1, H, W, 3] beside a [B, ...] rough render — see
+        ``__call__``); they are broadcast to a common batch before the
+        channel concat."""
+        if len(surfaces) > 1:
+            b = max(t.shape[0] for t in surfaces)
+            surfaces = tuple(jnp.broadcast_to(t, (b,) + t.shape[1:])
+                             for t in surfaces)
         s = jnp.concatenate(surfaces, axis=-1)
         r1 = nn.relu(self.conv1_s(s))
         r2 = nn.relu(self.conv2_s(r1))
@@ -79,7 +88,14 @@ class ShadingNetSPAA(nn.Module):
     def __call__(self, x: jax.Array, *surfaces: jax.Array,
                  surface_feats: Optional[SurfaceFeatures] = None) -> jax.Array:
         """x: warped projector image NHWC. surfaces: (s,) or (s, rough).
-        Ref forward ``models.py:280-303`` (skipConv1 runs on s, line 291)."""
+        Ref forward ``models.py:280-303`` (skipConv1 runs on s, line 291).
+
+        The scene ``surfaces[0]`` may be [1, H, W, 3] while x is [B, ...]:
+        the skipConv1 chain — a pure function of the scene — then runs on
+        ONE image and broadcasts at the final add (rows of a batched conv
+        over identical samples are identical, so this is value-preserving;
+        in the attack hot loop it removes a B-wide conv chain per
+        iteration)."""
         if surface_feats is None:
             sf = self.surface_features(*surfaces)
         else:

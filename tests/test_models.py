@@ -124,6 +124,29 @@ def test_pcnet_forward_and_grads(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
 
 
+def test_pcnet_unbroadcast_scene_is_exact(rng):
+    """A [1,H,W,3] scene must give bitwise the same output as the same
+    scene broadcast to the batch (the attack hot loop passes the scene
+    unbroadcast so the skipConv1 chain runs on one image)."""
+    net = PCNet(out_size=(16, 20))
+    prj = jnp.asarray(rng.random((3, 12, 12, 3), np.float32))
+    scene1 = jnp.asarray(rng.random((1, 16, 20, 3), np.float32))
+    scene_b = jnp.broadcast_to(scene1, (3, 16, 20, 3))
+    mask = jnp.asarray((rng.random((16, 20, 1)) > 0.3).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), prj, scene1, mask)["params"]
+    out_b = jax.jit(lambda p, x, s: net.apply({"params": p}, x, s, mask))(
+        params, prj, scene_b)
+    out_1 = jax.jit(lambda p, x, s: net.apply({"params": p}, x, s, mask))(
+        params, prj, scene1)
+    np.testing.assert_array_equal(np.asarray(out_b), np.asarray(out_1))
+
+    g_b = jax.jit(jax.grad(lambda x: jnp.sum(
+        net.apply({"params": params}, x, scene_b, mask))))(prj)
+    g_1 = jax.jit(jax.grad(lambda x: jnp.sum(
+        net.apply({"params": params}, x, scene1, mask))))(prj)
+    np.testing.assert_array_equal(np.asarray(g_b), np.asarray(g_1))
+
+
 def test_classifier_chunked_classify_matches_unchunked(rng):
     """Large batches run in fixed-size padded chunks (summarize's batched
     re-inference); results must equal the single-program path."""
