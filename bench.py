@@ -262,8 +262,9 @@ def _bench_train_step(log, force):
     iters = jnp.arange(seg, dtype=jnp.int32)
 
     def loss_fn(p, x, y, itr):
-        sc = jnp.broadcast_to(scene, (x.shape[0],) + scene.shape[1:])
-        infer = model.apply({"params": p}, x, sc, mask)
+        # scene stays [1,...] as in the production pipeline (ShadingNet's
+        # scene-only skip chain runs on one image)
+        infer = model.apply({"params": p}, x, scene, mask)
         w = (itr > 400).astype(jnp.float32)
         return compute_loss(infer, y, "l1+ssim", ssim_weight=w)
 
@@ -336,9 +337,8 @@ def _bench_train_e2e(log, force):
         return model.apply({"params": p}, x, sc, mask)
 
     def loss_fn(p, x, y, itr):
-        sc = jnp.broadcast_to(jnp.asarray(scene),
-                              (x.shape[0],) + scene.shape[1:])
-        infer = model.apply({"params": p}, x, sc, mask)
+        # scene stays [1,...] as in the production pipeline
+        infer = model.apply({"params": p}, x, jnp.asarray(scene), mask)
         w = (itr > 400).astype(jnp.float32)
         return compute_loss(infer, y, "l1+ssim", ssim_weight=w)
 

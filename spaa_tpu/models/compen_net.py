@@ -20,7 +20,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from spaa_tpu.models.layers import Conv2dTorch, ConvTranspose2dTorch
+from spaa_tpu.models.layers import (Conv2dTorch, Conv2dTorchE,
+                                    ConvTranspose2dTorch, conv2d_nhwc,
+                                    pack_block_diag)
 from spaa_tpu.models.warping_net import WarpingNet
 
 
@@ -32,24 +34,33 @@ class SurfaceFeatures(NamedTuple):
 
 
 class CompenNet(nn.Module):
+    # Same packed two-branch encoder knob as ShadingNetSPAA (the skeleton
+    # is shared) — OFF by default for the same in-context reason (see
+    # ShadingNetSPAA.packed_encoder / tools/incontext_ab.py).
+    packed_encoder: bool = False
+    # Subpixel form of transConv1/2 (both k2s2 here); off by default
+    subpix_tconv: bool | None = None
+
     @property
     def model_name(self) -> str:
         return "CompenNet"
 
     def setup(self):
-        self.conv1 = Conv2dTorch(32, 3, 2, 1, name="conv1")
-        self.conv2 = Conv2dTorch(64, 3, 2, 1, name="conv2")
+        self.conv1 = Conv2dTorchE(32, 3, 3, 2, 1, name="conv1")
+        self.conv2 = Conv2dTorchE(64, 32, 3, 2, 1, name="conv2")
         self.conv3 = Conv2dTorch(128, 3, 1, 1, name="conv3")
         self.conv4 = Conv2dTorch(256, 3, 1, 1, name="conv4")
         self.conv5 = Conv2dTorch(128, 3, 1, 1, name="conv5")
 
-        self.conv1_s = Conv2dTorch(32, 3, 2, 1, name="conv1_s")
-        self.conv2_s = Conv2dTorch(64, 3, 2, 1, name="conv2_s")
+        self.conv1_s = Conv2dTorchE(32, 3, 3, 2, 1, name="conv1_s")
+        self.conv2_s = Conv2dTorchE(64, 32, 3, 2, 1, name="conv2_s")
         self.conv3_s = Conv2dTorch(128, 3, 1, 1, name="conv3_s")
         self.conv4_s = Conv2dTorch(256, 3, 1, 1, name="conv4_s")
 
-        self.trans_conv1 = ConvTranspose2dTorch(64, 2, 2, 0, name="transConv1")
-        self.trans_conv2 = ConvTranspose2dTorch(32, 2, 2, 0, name="transConv2")
+        self.trans_conv1 = ConvTranspose2dTorch(64, 2, 2, 0, name="transConv1",
+                                                subpix=self.subpix_tconv)
+        self.trans_conv2 = ConvTranspose2dTorch(32, 2, 2, 0, name="transConv2",
+                                                subpix=self.subpix_tconv)
         self.conv6 = Conv2dTorch(3, 3, 1, 1, name="conv6")
 
         self.skip1a = Conv2dTorch(3, 3, 1, 1, name="skipConv1_0")
@@ -70,18 +81,43 @@ class CompenNet(nn.Module):
                  surface_feats: Optional[SurfaceFeatures] = None) -> jax.Array:
         """x: desired camera image; s: surface image (both NHWC).
         Ref forward ``models.py:74-94``."""
-        sf = self.surface_features(s) if surface_feats is None else surface_feats
-
         res1 = nn.relu(self.skip1a(x))
         res1 = nn.relu(self.skip1b(res1))
         res1 = nn.relu(self.skip1c(res1))
 
-        h = nn.relu(self.conv1(x) + sf.res1)
-        res2 = self.skip2(h)
-        h = nn.relu(self.conv2(h) + sf.res2)
-        res3 = self.skip3(h)
-        h = nn.relu(self.conv3(h) + sf.res3)
-        h = nn.relu(self.conv4(h) + sf.res4)
+        if surface_feats is None and self.packed_encoder:
+            # Both branches run: block-diagonal packed conv1+conv1_s and
+            # conv2+conv2_s (value-preserving; ~2x on these layers — see
+            # layers.pack_block_diag). Compensation with a cached surface
+            # passes surface_feats and skips this path.
+            b = max(x.shape[0], s.shape[0])
+            xb = jnp.broadcast_to(x, (b,) + x.shape[1:])
+            sb = jnp.broadcast_to(s, (b,) + s.shape[1:])
+            w1, b1 = pack_block_diag(self.conv1.kernel, self.conv1.bias,
+                                     self.conv1_s.kernel, self.conv1_s.bias)
+            y = conv2d_nhwc(jnp.concatenate([xb, sb], -1), w1, b1, (2, 2), (1, 1))
+            r1 = nn.relu(y[..., 32:])
+            h = nn.relu(y[..., :32] + r1)
+            res2 = self.skip2(h)
+            w2, b2 = pack_block_diag(self.conv2.kernel, self.conv2.bias,
+                                     self.conv2_s.kernel, self.conv2_s.bias)
+            y = conv2d_nhwc(jnp.concatenate([h, r1], -1), w2, b2, (2, 2), (1, 1))
+            r2 = nn.relu(y[..., 64:])
+            h = nn.relu(y[..., :64] + r2)
+            res3 = self.skip3(h)
+            r3 = nn.relu(self.conv3_s(r2))
+            h = nn.relu(self.conv3(h) + r3)
+            r4 = nn.relu(self.conv4_s(r3))
+            h = nn.relu(self.conv4(h) + r4)
+        else:
+            sf = (self.surface_features(s)
+                  if surface_feats is None else surface_feats)
+            h = nn.relu(self.conv1(x) + sf.res1)
+            res2 = self.skip2(h)
+            h = nn.relu(self.conv2(h) + sf.res2)
+            res3 = self.skip3(h)
+            h = nn.relu(self.conv3(h) + sf.res3)
+            h = nn.relu(self.conv4(h) + sf.res4)
         h = nn.relu(self.conv5(h) + res3)
         h = nn.relu(self.trans_conv1(h) + res2)
         h = nn.relu(self.trans_conv2(h))

@@ -52,6 +52,43 @@ def _bias_init_for(fan_in: int):
     return init
 
 
+def conv2d_nhwc(x, kernel, bias=None, strides=(1, 1), padding=(0, 0)):
+    """The Conv2dTorch forward as a pure function (NHWC x, HWIO kernel)."""
+    sh, sw = strides
+    ph, pw = padding
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        x, kernel, (sh, sw), ((ph, ph), (pw, pw)), dimension_numbers=dn)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def pack_block_diag(w_a, b_a, w_b, b_b):
+    """Assemble one block-diagonal HWIO kernel computing two independent
+    convs (same k/s/p) over channel-concatenated inputs in a single call:
+    ``conv(concat([xa, xb]), W)[..., :co_a] == conv(xa, w_a)`` etc.
+
+    The cross blocks are exact zeros, so every extra product is an exact
+    zero added into the accumulator — value-preserving up to accumulation
+    order (bitwise in f32 zeros-math; measured ≤1-2 ulp in bf16). Packing
+    the two small-channel encoder convs into one call roughly doubles MXU
+    lane utilization: measured 6.17→3.22 ms (conv1 pair) and 6.66→2.90 ms
+    (conv2 pair) fwd+input-grad at ShadingNet shapes, B=132 bf16
+    (tools/smallconv_bench.py part2)."""
+    kh, kw, ci_a, co_a = w_a.shape
+    _, _, ci_b, co_b = w_b.shape
+    za = jnp.zeros((kh, kw, ci_a, co_b), w_a.dtype)
+    zb = jnp.zeros((kh, kw, ci_b, co_a), w_b.dtype)
+    w = jnp.concatenate([jnp.concatenate([w_a, za], axis=3),
+                         jnp.concatenate([zb, w_b], axis=3)], axis=2)
+    b = None
+    if b_a is not None:
+        b = jnp.concatenate([b_a, b_b])
+    return w, b
+
+
 class Conv2dTorch(nn.Module):
     """NHWC conv matching torch ``nn.Conv2d(cin, cout, k, s, p)``.
 
@@ -68,19 +105,46 @@ class Conv2dTorch(nn.Module):
     @nn.compact
     def __call__(self, x):
         kh, kw = _pair(self.kernel_size)
-        sh, sw = _pair(self.strides)
-        ph, pw = _pair(self.padding)
         cin = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init, (kh, kw, cin, self.features))
-        dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
-                                            ("NHWC", "HWIO", "NHWC"))
-        y = jax.lax.conv_general_dilated(
-            x, kernel, (sh, sw), ((ph, ph), (pw, pw)), dimension_numbers=dn)
+        bias = None
         if self.use_bias:
             bias = self.param("bias", _bias_init_for(kh * kw * cin),
                               (self.features,))
-            y = y + bias
-        return y
+        return conv2d_nhwc(x, kernel, bias, _pair(self.strides),
+                           _pair(self.padding))
+
+
+class Conv2dTorchE(nn.Module):
+    """``Conv2dTorch`` with explicit ``in_features`` and setup-declared
+    params: a parent module can then read ``.kernel``/``.bias`` directly
+    (e.g. to assemble a block-diagonal packed kernel, ``pack_block_diag``)
+    without calling the conv. Identical math, param names, shapes, and
+    init values (same scope path + initializer), so checkpoints and the
+    torch weight converter are unaffected."""
+    features: int
+    in_features: int
+    kernel_size: int | Sequence[int]
+    strides: int | Sequence[int] = 1
+    padding: int | Sequence[int] = 0
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = kaiming_normal_torch
+
+    def setup(self):
+        kh, kw = _pair(self.kernel_size)
+        self.kernel = self.param("kernel", self.kernel_init,
+                                 (kh, kw, self.in_features, self.features))
+        self.bias = (self.param("bias",
+                                _bias_init_for(kh * kw * self.in_features),
+                                (self.features,))
+                     if self.use_bias else None)
+
+    def __call__(self, x):
+        if x.shape[-1] != self.in_features:
+            raise ValueError(f"expected {self.in_features} input channels, "
+                             f"got {x.shape[-1]}")
+        return conv2d_nhwc(x, self.kernel, self.bias, _pair(self.strides),
+                           _pair(self.padding))
 
 
 class ConvTranspose2dTorch(nn.Module):
@@ -98,6 +162,19 @@ class ConvTranspose2dTorch(nn.Module):
     output_padding: int | Sequence[int] = 0
     use_bias: bool = True
     kernel_init: nn.initializers.Initializer = torch_conv_default_kernel_init
+    # Subpixel (pixel-shuffle) form of the k == s, p = 0, op = 0 transposed
+    # conv: each output pixel then depends on exactly ONE input pixel, so
+    # the rewrite is value-preserving (bitwise-equal output measured in
+    # bf16). ISOLATED vs IN-CONTEXT verdicts differ — default is OFF:
+    # timed alone (K chained applications of just this layer) the subpix
+    # GEMM is 3.4-5x faster than the dilated conv at ShadingNet's
+    # transConv2 shapes (tools/smallconv_bench.py), but inside the full
+    # PCNet fwd+grad programs it makes the WHOLE program 3-16% slower
+    # (tools/incontext_ab.py: XLA's layout assignment around the
+    # einsum+depth-to-space inserts transposes that cost more than the
+    # layer saves). None/False = dilated lhs_dilation form; True = subpix
+    # (only valid for the k==s, p=0, op=0 case).
+    subpix: bool | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -109,14 +186,34 @@ class ConvTranspose2dTorch(nn.Module):
         # stored like a forward conv kernel HWIO with I=cin (the torch
         # (cin, cout, kh, kw) tensor transposed+flipped at convert time)
         kernel = self.param("kernel", self.kernel_init, (kh, kw, cin, self.features))
-        flipped = jnp.flip(kernel, axis=(0, 1))
-        dn = jax.lax.conv_dimension_numbers(x.shape, flipped.shape,
-                                            ("NHWC", "HWIO", "NHWC"))
-        pad = ((kh - 1 - ph, kh - 1 - ph + oph),
-               (kw - 1 - pw, kw - 1 - pw + opw))
-        y = jax.lax.conv_general_dilated(
-            x, flipped, (1, 1), pad, lhs_dilation=(sh, sw),
-            dimension_numbers=dn)
+        subpix_ok = ((kh, kw) == (sh, sw) and (ph, pw) == (0, 0)
+                     and (oph, opw) == (0, 0))
+        use_subpix = bool(self.subpix)
+        if use_subpix:
+            if not subpix_ok:
+                raise ValueError(
+                    "subpix=True requires kernel_size == strides, padding=0, "
+                    "output_padding=0 (the value-preserving case)")
+            # out[sy*y+py, sx*x+px, co] = sum_ci x[y, x, ci] * kernel[py, px,
+            # ci, co]: one einsum over phase-stacked kernels, interleaved by
+            # depth-to-space. Stored kernel is the torch tensor UNflipped in
+            # HWIO, so no flip here (the dilated path flips only to express
+            # the transpose as a forward conv).
+            w = kernel.reshape(kh * kw, cin, self.features)
+            y = jnp.einsum("bhwc,pcf->bhwpf", x, w)
+            b_, hh, ww = y.shape[:3]
+            y = y.reshape(b_, hh, ww, kh, kw, self.features)
+            y = y.transpose(0, 1, 3, 2, 4, 5)
+            y = y.reshape(b_, hh * kh, ww * kw, self.features)
+        else:
+            flipped = jnp.flip(kernel, axis=(0, 1))
+            dn = jax.lax.conv_dimension_numbers(x.shape, flipped.shape,
+                                                ("NHWC", "HWIO", "NHWC"))
+            pad = ((kh - 1 - ph, kh - 1 - ph + oph),
+                   (kw - 1 - pw, kw - 1 - pw + opw))
+            y = jax.lax.conv_general_dilated(
+                x, flipped, (1, 1), pad, lhs_dilation=(sh, sw),
+                dimension_numbers=dn)
         if self.use_bias:
             bias = self.param("bias", _bias_init_for(kh * kw * self.features),
                               (self.features,))

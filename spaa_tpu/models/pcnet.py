@@ -39,6 +39,12 @@ class PCNet(nn.Module):
     with_refine: bool = True
     use_mask: bool = True
     use_rough: bool = True
+    # micro-optimization knobs forwarded to ShadingNetSPAA (value-
+    # preserving rewrites; OFF by default — in-context TPU measurement
+    # shows whole-program regressions despite isolated layer wins, see
+    # tools/incontext_ab.py)
+    packed_encoder: bool = False
+    subpix_tconv: bool | None = None
 
     @property
     def model_name(self) -> str:
@@ -53,7 +59,9 @@ class PCNet(nn.Module):
         self.warping_net = WarpingNet(out_size=self.out_size,
                                       grid_shape=self.grid_shape,
                                       with_refine=self.with_refine)
-        self.shading_net = ShadingNetSPAA(use_rough=self.use_rough)
+        self.shading_net = ShadingNetSPAA(use_rough=self.use_rough,
+                                          packed_encoder=self.packed_encoder,
+                                          subpix_tconv=self.subpix_tconv)
 
     def __call__(self, x: jax.Array, s: jax.Array,
                  mask: Optional[jax.Array] = None,

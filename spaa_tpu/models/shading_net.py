@@ -22,7 +22,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from spaa_tpu.models.layers import Conv2dTorch, ConvTranspose2dTorch
+from spaa_tpu.models.layers import (Conv2dTorch, Conv2dTorchE,
+                                    ConvTranspose2dTorch, conv2d_nhwc,
+                                    pack_block_diag)
 
 
 class SurfaceFeatures(NamedTuple):
@@ -35,6 +37,16 @@ class SurfaceFeatures(NamedTuple):
 
 class ShadingNetSPAA(nn.Module):
     use_rough: bool = True
+    # Pack conv1+conv1_s and conv2+conv2_s into single block-diagonal convs
+    # when both branches run. Value-preserving (layers.pack_block_diag) and
+    # ~2x faster on those layers IN ISOLATION — but OFF by default: inside
+    # the full PCNet fwd+grad programs the packing makes the whole program
+    # 6% (attack) / 6% (train) SLOWER (tools/incontext_ab.py; fusion/layout
+    # interactions dominate the lane-utilization gain).
+    packed_encoder: bool = False
+    # Subpixel form of transConv2 — same story: 3.4-5x alone, 3-16% whole-
+    # program regression; see layers.ConvTranspose2dTorch.subpix.
+    subpix_tconv: bool | None = None
 
     @property
     def model_name(self) -> str:
@@ -42,20 +54,22 @@ class ShadingNetSPAA(nn.Module):
 
     def setup(self):
         relu = nn.relu
-        self.conv1 = Conv2dTorch(32, 3, 2, 1, name="conv1")
-        self.conv2 = Conv2dTorch(64, 3, 2, 1, name="conv2")
+        self.conv1 = Conv2dTorchE(32, 3, 3, 2, 1, name="conv1")
+        self.conv2 = Conv2dTorchE(64, 32, 3, 2, 1, name="conv2")
         self.conv3 = Conv2dTorch(128, 3, 1, 1, name="conv3")
         self.conv4 = Conv2dTorch(256, 3, 1, 1, name="conv4")
         self.conv5 = Conv2dTorch(128, 3, 1, 1, name="conv5")
 
-        self.conv1_s = Conv2dTorch(32, 3, 2, 1, name="conv1_s")
-        self.conv2_s = Conv2dTorch(64, 3, 2, 1, name="conv2_s")
+        cs = 6 if self.use_rough else 3
+        self.conv1_s = Conv2dTorchE(32, cs, 3, 2, 1, name="conv1_s")
+        self.conv2_s = Conv2dTorchE(64, 32, 3, 2, 1, name="conv2_s")
         self.conv3_s = Conv2dTorch(128, 3, 1, 1, name="conv3_s")
         self.conv4_s = Conv2dTorch(256, 3, 1, 1, name="conv4_s")
 
         # ref models.py:237-238: transConv1 has output_padding=1 with k=3
         self.trans_conv1 = ConvTranspose2dTorch(64, 3, 2, 1, 1, name="transConv1")
-        self.trans_conv2 = ConvTranspose2dTorch(32, 2, 2, 0, name="transConv2")
+        self.trans_conv2 = ConvTranspose2dTorch(32, 2, 2, 0, name="transConv2",
+                                                subpix=self.subpix_tconv)
         self.conv6 = Conv2dTorch(3, 3, 1, 1, name="conv6")
 
         self.skip1a = Conv2dTorch(3, 1, 1, 0, name="skipConv1_0")
@@ -96,21 +110,46 @@ class ShadingNetSPAA(nn.Module):
         over identical samples are identical, so this is value-preserving;
         in the attack hot loop it removes a B-wide conv chain per
         iteration)."""
-        if surface_feats is None:
-            sf = self.surface_features(*surfaces)
-        else:
-            sf = surface_feats
-
         res1 = nn.relu(self.skip1a(surfaces[0]))
         res1 = nn.relu(self.skip1b(res1))
         res1 = nn.relu(self.skip1c(res1))
 
-        h = nn.relu(self.conv1(x) + sf.res1)
-        res2 = self.skip2(h)
-        h = nn.relu(self.conv2(h) + sf.res2)
-        res3 = self.skip3(h)
-        h = nn.relu(self.conv3(h) + sf.res3)
-        h = nn.relu(self.conv4(h) + sf.res4)
+        if surface_feats is None and self.packed_encoder:
+            # Both branches run: fold (conv1, conv1_s) and (conv2, conv2_s)
+            # into single block-diagonal convs (zero cross-blocks, value-
+            # preserving; ~2x on these lane-starved layers — see
+            # layers.pack_block_diag). The attack loop passes surface_feats
+            # and never reaches this path, so its program is unchanged.
+            b = max(x.shape[0], *(t.shape[0] for t in surfaces))
+            x = jnp.broadcast_to(x, (b,) + x.shape[1:])
+            s = jnp.concatenate(
+                [jnp.broadcast_to(t, (b,) + t.shape[1:]) for t in surfaces],
+                axis=-1)
+            w1, b1 = pack_block_diag(self.conv1.kernel, self.conv1.bias,
+                                     self.conv1_s.kernel, self.conv1_s.bias)
+            y = conv2d_nhwc(jnp.concatenate([x, s], -1), w1, b1, (2, 2), (1, 1))
+            r1 = nn.relu(y[..., 32:])
+            h = nn.relu(y[..., :32] + r1)
+            res2 = self.skip2(h)
+            w2, b2 = pack_block_diag(self.conv2.kernel, self.conv2.bias,
+                                     self.conv2_s.kernel, self.conv2_s.bias)
+            y = conv2d_nhwc(jnp.concatenate([h, r1], -1), w2, b2, (2, 2), (1, 1))
+            r2 = nn.relu(y[..., 64:])
+            h = nn.relu(y[..., :64] + r2)
+            res3 = self.skip3(h)
+            r3 = nn.relu(self.conv3_s(r2))
+            h = nn.relu(self.conv3(h) + r3)
+            r4 = nn.relu(self.conv4_s(r3))
+            h = nn.relu(self.conv4(h) + r4)
+        else:
+            sf = (self.surface_features(*surfaces)
+                  if surface_feats is None else surface_feats)
+            h = nn.relu(self.conv1(x) + sf.res1)
+            res2 = self.skip2(h)
+            h = nn.relu(self.conv2(h) + sf.res2)
+            res3 = self.skip3(h)
+            h = nn.relu(self.conv3(h) + sf.res3)
+            h = nn.relu(self.conv4(h) + sf.res4)
         h = nn.relu(self.conv5(h) + res3)
         h = nn.relu(self.trans_conv1(h) + res2)
         h = nn.relu(self.trans_conv2(h))

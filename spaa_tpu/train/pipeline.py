@@ -173,10 +173,11 @@ def train_eval_pcnet(cfg_default):
                         scene = np.asarray(data["cam_scene"])
 
                         def loss_fn(p, prj, cam_gt, itr):
-                            sc = jnp.broadcast_to(
-                                jnp.asarray(scene),
-                                (prj.shape[0],) + scene.shape[1:])
-                            infer = model.apply({"params": p}, prj, sc, mask)
+                            # scene stays [1, H, W, 3]: ShadingNet's scene-
+                            # only skipConv1 chain then runs on ONE image
+                            # (value-preserving; see ShadingNetSPAA)
+                            infer = model.apply({"params": p}, prj,
+                                                jnp.asarray(scene), mask)
                             # curriculum: l1 only for the first 400 iters
                             # (ref train_network.py:299-303)
                             w = (itr > 400).astype(jnp.float32)
@@ -266,9 +267,8 @@ def init_compennet(data_root: str, cfg) -> Any:
 
     def loss_fn(p, cam_desired, prj_gt, itr):
         del itr
-        sc = jnp.broadcast_to(jnp.asarray(scene),
-                              (cam_desired.shape[0],) + scene.shape[1:])
-        infer = model.apply({"params": p}, cam_desired, sc)
+        # scene stays [1,...]; CompenNet broadcasts inside the packed conv
+        infer = model.apply({"params": p}, cam_desired, jnp.asarray(scene))
         return compute_loss(infer, prj_gt, "l1+ssim")
 
     tx = make_compennet_pp_optimizer(init_cfg)
@@ -351,10 +351,10 @@ def train_eval_compennet_pp(cfg_default):
 
                         def loss_fn(p, cam, prj_gt, itr):
                             del itr
-                            sc = jnp.broadcast_to(
-                                jnp.asarray(scene),
-                                (cam.shape[0],) + scene.shape[1:])
-                            infer = model.apply({"params": p}, cam, sc)
+                            # scene stays [1,...]; CompenNet++ warps it once
+                            # and CompenNet broadcasts inside the packed conv
+                            infer = model.apply({"params": p}, cam,
+                                                jnp.asarray(scene))
                             return compute_loss(infer, prj_gt, cfg.loss)
 
                         tx = make_compennet_pp_optimizer(cfg)
@@ -394,12 +394,9 @@ def train_eval_compennet_pp(cfg_default):
                     if os.path.isdir(desire_path):
                         from spaa_tpu.utils.io import imread_dir
                         desire = imread_dir(desire_path)
-                        scene_b = np.broadcast_to(
-                            data["cam_scene"],
-                            desire.shape).copy()
                         prj_cmp = np.asarray(model.apply(
                             {"params": params}, jnp.asarray(desire),
-                            jnp.asarray(scene_b)))
+                            jnp.asarray(data["cam_scene"])))
                         save_imgs(prj_cmp, join(setup_path, "prj/cmp/test",
                                                 model_version))
 

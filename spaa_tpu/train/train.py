@@ -367,8 +367,7 @@ def make_evaluator(apply_fn: Callable, valid_inputs, valid_targets,
     @jax.jit
     def _chunk_metrics(params, x, gt):
         x, gt = _f01(x), _f01(gt)
-        sc = jnp.broadcast_to(scene, (x.shape[0],) + scene.shape[1:])
-        infer = apply_fn(params, x, sc)
+        infer = apply_fn(params, x, scene)   # scene [1,...]: models broadcast internally
         from spaa_tpu.ops.metrics import _metrics_device
         return _metrics_device(infer, gt)[:3]
 
@@ -378,8 +377,7 @@ def make_evaluator(apply_fn: Callable, valid_inputs, valid_targets,
         # PSNR/RMSE/SSIM equals the frac-weighted mean of the loop path
         def body(args):
             x, gt = _f01(args[0]), _f01(args[1])
-            sc = jnp.broadcast_to(scene, (x.shape[0],) + scene.shape[1:])
-            infer = apply_fn(params, x, sc)
+            infer = apply_fn(params, x, scene)
             from spaa_tpu.ops.metrics import _metrics_device
             p, r, s = _metrics_device(infer, gt)[:3]
             return jnp.stack([p, r, s])
@@ -404,8 +402,7 @@ def make_evaluator(apply_fn: Callable, valid_inputs, valid_targets,
             frac = len(idx) / n
             if return_images:
                 x, gt = _f01(x), _f01(gt)
-                sc = jnp.broadcast_to(scene, (x.shape[0],) + scene.shape[1:])
-                infer = jit_apply(params, x, sc)
+                infer = jit_apply(params, x, scene)
                 infers.append(np.asarray(infer))
                 p, r, s, *_ = M.calc_img_dists(infer, gt)
             else:

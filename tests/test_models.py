@@ -46,6 +46,32 @@ def test_conv_transpose2d_matches_torch(rng, k, s, p, op):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_conv_transpose2d_subpix_matches_dilated(rng):
+    """The k==s, p=0 subpix form (opt-in knob; off by default after the
+    in-context regression measured in tools/incontext_ab.py) must equal
+    the lhs-dilated formulation on the same params — it is value-
+    preserving by construction (each output pixel reads exactly one input
+    pixel; measured bitwise-equal in bf16 on TPU)."""
+    x = jnp.asarray(rng.random((2, 5, 6, 4), np.float32))
+    w = jnp.asarray(rng.random((2, 2, 4, 3), np.float32) - 0.5)
+    b = jnp.asarray(rng.random((3,), np.float32))
+    params = {"params": {"kernel": w, "bias": b}}
+    fast = ConvTranspose2dTorch(3, 2, 2, 0, subpix=True)
+    slow = ConvTranspose2dTorch(3, 2, 2, 0)          # default: dilated
+    y_fast = jax.jit(lambda q: fast.apply(params, q))(x)
+    y_slow = jax.jit(lambda q: slow.apply(params, q))(x)
+    np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_slow),
+                               rtol=1e-6, atol=1e-6)
+    g_fast = jax.jit(jax.grad(lambda q: jnp.sum(fast.apply(params, q) ** 2)))(x)
+    g_slow = jax.jit(jax.grad(lambda q: jnp.sum(slow.apply(params, q) ** 2)))(x)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_slow),
+                               rtol=1e-5, atol=1e-5)
+    # subpix=True on a non-eligible combo must refuse, not silently differ
+    with pytest.raises(ValueError):
+        ConvTranspose2dTorch(3, 3, 2, 1, 1, subpix=True).init(
+            jax.random.PRNGKey(0), x)
+
+
 def test_warping_net_shapes_and_identity_affine(rng):
     net = WarpingNet(out_size=(16, 20), with_refine=True)
     x = jnp.asarray(rng.random((2, 12, 12, 3), np.float32))
@@ -100,6 +126,44 @@ def test_compen_net_and_pp(rng):
                         method=CompenNetPlusplus.simplify)
     out2 = pp.apply({"params": params}, x, s, fine_grid=grid, surface_feats=sf)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
+
+
+def test_packed_encoder_matches_unpacked(rng):
+    """The block-diagonal packed (conv1,conv1_s)/(conv2,conv2_s) path
+    (opt-in knob; off by default after the in-context regression measured
+    in tools/incontext_ab.py) must match the two-separate-convs path on
+    the same params — forward and parameter gradients (zero cross-blocks
+    add exact zeros; only accumulation order can differ)."""
+    from spaa_tpu.models import CompenNet, ShadingNetSPAA
+
+    x = jnp.asarray(rng.random((3, 16, 20, 3), np.float32))
+    s = jnp.asarray(rng.random((3, 16, 20, 3), np.float32))
+    rough = x * s
+
+    for net_p, net_u, args in [
+        (ShadingNetSPAA(packed_encoder=True), ShadingNetSPAA(), (x, s, rough)),
+        (CompenNet(packed_encoder=True), CompenNet(), (x, s)),
+    ]:
+        params = net_p.init(jax.random.PRNGKey(1), *args)["params"]
+        y_p = jax.jit(lambda p, a=args, n=net_p: n.apply({"params": p}, *a))(params)
+        y_u = jax.jit(lambda p, a=args, n=net_u: n.apply({"params": p}, *a))(params)
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_u),
+                                   rtol=1e-5, atol=1e-6)
+
+        def loss(p, n, a):
+            return jnp.sum(n.apply({"params": p}, *a) ** 2)
+
+        g_p = jax.jit(jax.grad(lambda p: loss(p, net_p, args)))(params)
+        g_u = jax.jit(jax.grad(lambda p: loss(p, net_u, args)))(params)
+        for kp, (gp, gu) in zip(
+                jax.tree_util.tree_leaves_with_path(g_p),
+                zip(jax.tree.leaves(g_p), jax.tree.leaves(g_u))):
+            np.testing.assert_allclose(
+                np.asarray(gp), np.asarray(gu), rtol=1e-4, atol=1e-4,
+                err_msg=f"param grad mismatch at {kp[0]}")
+        # the packed path must not change the param tree (checkpoint compat)
+        assert jax.tree_util.tree_structure(g_p) == \
+            jax.tree_util.tree_structure(g_u)
 
 
 def test_pcnet_forward_and_grads(rng):

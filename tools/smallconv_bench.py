@@ -327,8 +327,107 @@ def part2():
     report("phase-space (shape-only)", up_phase_full, x)
 
 
+
+
+def part3():
+    """Round 3: TRAIN-shaped timings (B=24, f32, full grads incl. weights)
+    for the variants adopted after part1/part2 — the part1/2 numbers were
+    attack-shaped (B=132, bf16, input-grad only); training differs in all
+    three dimensions, so validate the rewrites there before keeping them
+    in the train path."""
+    dt = jnp.float32
+    B, H, W = 24, 240, 320
+    h2, w2 = H // 2, W // 2
+    rng = np.random.default_rng(0)
+    print(f"backend={jax.default_backend()} B={B} K={K} dtype=f32 [part3]")
+    force(jnp.zeros(1))
+
+    def chain_time_allgrad(fn, params, x, n=3):
+        def run(q, ps):
+            def body(i, c):
+                def loss(ps2):
+                    return 0.5 * jnp.sum(jnp.square(fn(ps2, q + c)))
+                l, g = jax.value_and_grad(loss)(ps)
+                gm = sum(jnp.max(jnp.abs(t)) for t in jax.tree.leaves(g))
+                return gm.astype(dt) * jnp.asarray(1e-8, dt)
+            return jax.lax.fori_loop(0, K, body, jnp.zeros((), dt))
+        j = jax.jit(run)
+        force(j(x, params))
+        t0 = time.time()
+        for _ in range(n):
+            r = j(x, params)
+        force(r)
+        return (time.time() - t0) / n / K
+
+    # ---- tconv2 64->32 k2 s2 @120->240: base vs subpix, full grads ----
+    print("tconv2 64->32 k2 s2 @120->160 (train shape)")
+    x = jnp.asarray(rng.random((B, h2, w2, 64), np.float32), dt)
+    wt = jnp.asarray(rng.normal(0, 0.05, (2, 2, 64, 32)), dt)
+
+    def t2_base(ps, q):
+        flipped = jnp.flip(ps["w"], axis=(0, 1))
+        return conv(q, flipped, stride=1, pad2=((1, 1), (1, 1)),
+                    lhs_dilation=(2, 2))
+
+    def t2_subpix(ps, q):
+        w4 = ps["w"].reshape(4, 64, 32)
+        y = jnp.einsum("bhwc,pcf->bhwpf", q, w4)
+        b, hh, ww, _, co = y.shape
+        y = y.reshape(b, hh, ww, 2, 2, co).transpose(0, 1, 3, 2, 4, 5)
+        return y.reshape(b, hh * 2, ww * 2, co)
+
+    for name, fn in [("base (lhs_dilation)", t2_base), ("subpix", t2_subpix)]:
+        t = chain_time_allgrad(fn, {"w": wt}, x)
+        print(f"  {name:28s} fwd+allgrad {1e3*t:6.2f} ms", flush=True)
+
+    # ---- conv1 pair @240 s2, full grads ----
+    print("conv1+conv1_s pair @240 s2 (train shape)")
+    xin = jnp.asarray(rng.random((B, H, W, 9), np.float32), dt)
+    w1 = jnp.asarray(rng.normal(0, 0.1, (3, 3, 3, 32)), dt)
+    ws = jnp.asarray(rng.normal(0, 0.1, (3, 3, 6, 32)), dt)
+
+    def pair_sep(ps, q):
+        return jnp.concatenate([conv(q[..., :3], ps["a"], stride=2),
+                                conv(q[..., 3:], ps["b"], stride=2)], -1)
+
+    def pair_packed(ps, q):
+        za = jnp.zeros((3, 3, 3, 32), dt)
+        zb = jnp.zeros((3, 3, 6, 32), dt)
+        w = jnp.concatenate([jnp.concatenate([ps["a"], za], 3),
+                             jnp.concatenate([zb, ps["b"]], 3)], 2)
+        return conv(q, w, stride=2)
+
+    for name, fn in [("2 separate convs", pair_sep),
+                     ("packed block-diag", pair_packed)]:
+        t = chain_time_allgrad(fn, {"a": w1, "b": ws}, xin)
+        print(f"  {name:28s} fwd+allgrad {1e3*t:6.2f} ms", flush=True)
+
+    # ---- conv2 pair @120 s2, full grads ----
+    print("conv2+conv2_s pair @120 s2 (train shape)")
+    xin = jnp.asarray(rng.random((B, h2, w2, 64), np.float32), dt)
+    wa = jnp.asarray(rng.normal(0, 0.05, (3, 3, 32, 64)), dt)
+    wb = jnp.asarray(rng.normal(0, 0.05, (3, 3, 32, 64)), dt)
+
+    def pair2_sep(ps, q):
+        return jnp.concatenate([conv(q[..., :32], ps["a"], stride=2),
+                                conv(q[..., 32:], ps["b"], stride=2)], -1)
+
+    def pair2_packed(ps, q):
+        za = jnp.zeros((3, 3, 32, 64), dt)
+        w = jnp.concatenate([jnp.concatenate([ps["a"], za], 3),
+                             jnp.concatenate([za, ps["b"]], 3)], 2)
+        return conv(q, w, stride=2)
+
+    for name, fn in [("2 separate convs", pair2_sep),
+                     ("packed block-diag", pair2_packed)]:
+        t = chain_time_allgrad(fn, {"a": wa, "b": wb}, xin)
+        print(f"  {name:28s} fwd+allgrad {1e3*t:6.2f} ms", flush=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "2":
         part2()
+    elif len(sys.argv) > 1 and sys.argv[1] == "3":
+        part3()
     else:
         main()

@@ -8,6 +8,17 @@ transConv2 k2s2 64->32 @120x160) are implemented as lhs_dilated convs
 the 4 output phases with the live kernel slice only, then interleaves.
 If XLA doesn't already rewrite the dilated form, subpixel saves ~4x the
 MACs on these layers. This script checks numerics AND wall-clock.
+
+SUPERSEDED: this script times each variant with PER-DISPATCH calls, which
+the axon tunnel's ~8 ms dispatch latency dominates — its round-2 "subpix
+loses" conclusion was an artifact. tools/smallconv_bench.py re-measures
+with K chained applications per program: subpix wins 3.4x (attack shape,
+bf16, fwd+input-grad) and 5x (train shape, f32, full grads) for transConv2
+(k2s2), and loses for transConv1 (k3s2p1op1). BUT tools/incontext_ab.py
+then showed the subpix form makes the FULL PCNet fwd+grad programs 3-16%
+slower (XLA layout/fusion interactions), so it is an opt-in knob
+(ConvTranspose2dTorch(subpix=True), valid only for k==s, p=0, op=0) and
+OFF by default.
 """
 import os
 import sys
