@@ -302,7 +302,14 @@ def make_pcnet_fn(trained, use_pallas_warp: Optional[bool] = None,
         out = model.apply(
             {"params": st["params_c"]}, prj.astype(cdtype), s.astype(cdtype),
             None if st["mask"] is None else jnp.asarray(st["mask"], cdtype),
-            cache=None if cache is None else jax.tree.map(lambda x: x, cache),
+            # fine_grid stays f32 (coordinate precision; grid_sample
+            # returns the IMAGE dtype, so a f32 grid doesn't promote the
+            # bf16 activations) but cached surface features must match the
+            # compute dtype or the next conv raises a dtype mismatch
+            cache=None if cache is None else PCNetCache(
+                cache.fine_grid,
+                None if cache.surface_feats is None else jax.tree.map(
+                    lambda x: x.astype(cdtype), cache.surface_feats)),
             warped=None if warped is None else warped.astype(cdtype))
         return out.astype(jnp.float32)
 

@@ -21,8 +21,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from spaa_tpu.models.layers import (Conv2dTorch, Conv2dTorchE,
-                                    ConvTranspose2dTorch, conv2d_nhwc,
-                                    pack_block_diag)
+                                    ConvTranspose2dTorch,
+                                    packed_encoder_forward)
 from spaa_tpu.models.warping_net import WarpingNet
 
 
@@ -86,29 +86,11 @@ class CompenNet(nn.Module):
         res1 = nn.relu(self.skip1c(res1))
 
         if surface_feats is None and self.packed_encoder:
-            # Both branches run: block-diagonal packed conv1+conv1_s and
-            # conv2+conv2_s (value-preserving; ~2x on these layers — see
-            # layers.pack_block_diag). Compensation with a cached surface
-            # passes surface_feats and skips this path.
-            b = max(x.shape[0], s.shape[0])
-            xb = jnp.broadcast_to(x, (b,) + x.shape[1:])
-            sb = jnp.broadcast_to(s, (b,) + s.shape[1:])
-            w1, b1 = pack_block_diag(self.conv1.kernel, self.conv1.bias,
-                                     self.conv1_s.kernel, self.conv1_s.bias)
-            y = conv2d_nhwc(jnp.concatenate([xb, sb], -1), w1, b1, (2, 2), (1, 1))
-            r1 = nn.relu(y[..., 32:])
-            h = nn.relu(y[..., :32] + r1)
-            res2 = self.skip2(h)
-            w2, b2 = pack_block_diag(self.conv2.kernel, self.conv2.bias,
-                                     self.conv2_s.kernel, self.conv2_s.bias)
-            y = conv2d_nhwc(jnp.concatenate([h, r1], -1), w2, b2, (2, 2), (1, 1))
-            r2 = nn.relu(y[..., 64:])
-            h = nn.relu(y[..., :64] + r2)
-            res3 = self.skip3(h)
-            r3 = nn.relu(self.conv3_s(r2))
-            h = nn.relu(self.conv3(h) + r3)
-            r4 = nn.relu(self.conv4_s(r3))
-            h = nn.relu(self.conv4(h) + r4)
+            # Both branches run: block-diagonal packed encoder (see
+            # layers.packed_encoder_forward / pack_block_diag).
+            # Compensation with a cached surface passes surface_feats and
+            # skips this path.
+            h, res2, res3 = packed_encoder_forward(self, x, s)
         else:
             sf = (self.surface_features(s)
                   if surface_feats is None else surface_feats)

@@ -267,7 +267,8 @@ def init_compennet(data_root: str, cfg) -> Any:
 
     def loss_fn(p, cam_desired, prj_gt, itr):
         del itr
-        # scene stays [1,...]; CompenNet broadcasts inside the packed conv
+        # scene stays [1,...]: CompenNet's surface branch runs on one
+        # image and broadcasts at the encoder adds
         infer = model.apply({"params": p}, cam_desired, jnp.asarray(scene))
         return compute_loss(infer, prj_gt, "l1+ssim")
 
@@ -351,8 +352,9 @@ def train_eval_compennet_pp(cfg_default):
 
                         def loss_fn(p, cam, prj_gt, itr):
                             del itr
-                            # scene stays [1,...]; CompenNet++ warps it once
-                            # and CompenNet broadcasts inside the packed conv
+                            # scene stays [1,...]: CompenNet++ warps it
+                            # once and CompenNet's surface branch broadcasts
+                            # at the encoder adds
                             infer = model.apply({"params": p}, cam,
                                                 jnp.asarray(scene))
                             return compute_loss(infer, prj_gt, cfg.loss)

@@ -54,3 +54,39 @@ def test_variant_builds_forward_and_grads(variant, expect_name):
                         method=type(model).simplify_cache)
     out2 = model.apply({"params": params}, prj, scene, mask, cache=cache)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=2e-5)
+
+
+@pytest.mark.parametrize("variant", ["PCNet", "PCNet_no_rough"])
+def test_make_pcnet_fn_bf16_with_cached_surface(variant):
+    """Regression: make_pcnet_fn(compute_dtype='bfloat16') must cast the
+    baked surface features (f32 in the simplify cache) to the compute
+    dtype — PCNet_no_rough's cache carries SurfaceFeatures and previously
+    raised a conv dtype mismatch in the bf16 attack path. The fine grid
+    stays f32 (coordinate precision; grid_sample returns the image dtype).
+    """
+    from spaa_tpu.attack.orchestrate import make_pcnet_fn
+    from spaa_tpu.train.pipeline import TrainedModel, _build_pcnet
+
+    key = jax.random.PRNGKey(0)
+    model, params = _build_pcnet(variant, CAM_HW, CORNERS, key)
+    rng = np.random.default_rng(2)
+    scene = rng.random((1, *CAM_HW, 3), np.float32)
+    mask = np.ones((*CAM_HW, 1), np.float32)
+    trained = TrainedModel(model=model, params=params, mask=mask,
+                           cam_scene=scene, setup_info={"prj_im_sz":
+                                                        [PRJ_HW[1], PRJ_HW[0]]},
+                           cfg=None, name=variant)
+
+    prj = jnp.asarray(rng.random((3, *PRJ_HW, 3), np.float32))
+    apply32, st32 = make_pcnet_fn(trained, use_pallas_warp=False,
+                                  compute_dtype="float32")
+    out32 = np.asarray(apply32(st32, prj))
+    apply16, st16 = make_pcnet_fn(trained, use_pallas_warp=False,
+                                  compute_dtype="bfloat16")
+    if variant == "PCNet_no_rough":
+        assert st16["cache"].surface_feats is not None
+    out16 = np.asarray(apply16(st16, prj))
+    assert out16.dtype == np.float32           # f32 in/out contract
+    assert np.isfinite(out16).all()
+    # bf16 has ~3 decimal digits; the nets are shallow so stay close
+    np.testing.assert_allclose(out16, out32, atol=0.05)
