@@ -57,13 +57,14 @@ def unnormalize_imagenet(im: jax.Array) -> jax.Array:
     return im * jnp.asarray(IMAGENET_STD) + jnp.asarray(IMAGENET_MEAN)
 
 
-def make_logits_fn(model_name: str) -> Callable:
+def make_logits_fn(model_name: str, **model_kw) -> Callable:
     """Returns ``logits_fn(params, im, crop_sz)``: the full differentiable
     classify pipeline on NHWC [0,1] images (ref ``classifier.py:55-60``).
-    ``crop_sz`` must be static (python ints)."""
+    ``crop_sz`` must be static (python ints). ``model_kw`` forwards to the
+    Flax module (e.g. ``taps_stem=False`` for the A/B in tools/taps_ab.py)."""
     from spaa_tpu.ops.image import center_crop, expand_4d, resize_area
     cls, input_sz = _MODELS[model_name]
-    model = cls()
+    model = cls(**model_kw)
 
     def logits_fn(params, im, crop_sz=(240, 240)):
         im = expand_4d(im)

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from spaa_tpu.models.classifiers.resnet import EvalBatchNorm
+from spaa_tpu.models.layers import ConvStemTapsBwd
 
 
 class BasicConv2d(nn.Module):
@@ -19,13 +20,24 @@ class BasicConv2d(nn.Module):
     kernel: tuple
     stride: int = 1
     padding: tuple = (0, 0)
+    # Route backward-data through layers.conv2d_taps_bwd (for the Cin=3
+    # stem, whose XLA backward is MXU-lane-starved in the SPAA attack).
+    # Same param path ("conv/kernel") and init either way.
+    taps_bwd: bool = False
 
     @nn.compact
     def __call__(self, x):
         ph, pw = self.padding
-        x = nn.Conv(self.features, self.kernel, (self.stride, self.stride),
-                    padding=[(ph, ph), (pw, pw)], use_bias=False,
-                    kernel_init=nn.initializers.he_normal(), name="conv")(x)
+        if self.taps_bwd:
+            x = ConvStemTapsBwd(self.features, self.kernel,
+                                (self.stride, self.stride), (ph, pw),
+                                name="conv")(x)
+        else:
+            x = nn.Conv(self.features, self.kernel,
+                        (self.stride, self.stride),
+                        padding=[(ph, ph), (pw, pw)], use_bias=False,
+                        kernel_init=nn.initializers.he_normal(),
+                        name="conv")(x)
         x = EvalBatchNorm(eps=1e-3, name="bn")(x)
         return nn.relu(x)
 
@@ -122,6 +134,9 @@ class InceptionE(nn.Module):
 class InceptionV3(nn.Module):
     num_classes: int = 1000
     transform_input: bool = True
+    # Stem backward-data via the tap-GEMM rewrite (see
+    # layers.conv2d_taps_bwd); toggleable for A/B (tools/taps_ab.py).
+    taps_stem: bool = True
 
     input_size = (299, 299)
 
@@ -134,7 +149,8 @@ class InceptionV3(nn.Module):
             ch1 = x[..., 1:2] * (0.224 / 0.5) + (0.456 - 0.5) / 0.5
             ch2 = x[..., 2:3] * (0.225 / 0.5) + (0.406 - 0.5) / 0.5
             x = jnp.concatenate([ch0, ch1, ch2], axis=-1)
-        x = BasicConv2d(32, (3, 3), stride=2, name="Conv2d_1a_3x3")(x)
+        x = BasicConv2d(32, (3, 3), stride=2, taps_bwd=self.taps_stem,
+                        name="Conv2d_1a_3x3")(x)
         x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3")(x)
         x = BasicConv2d(64, (3, 3), padding=(1, 1), name="Conv2d_2b_3x3")(x)
         x = _maxpool3x3s2(x)

@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from spaa_tpu.models.layers import ConvStemTapsBwd
+
 
 class EvalBatchNorm(nn.Module):
     """Inference-only BatchNorm: y = (x - mean) / sqrt(var + eps) * g + b.
@@ -62,12 +64,21 @@ class BasicBlock(nn.Module):
 class ResNet18(nn.Module):
     num_classes: int = 1000
     stage_sizes: Sequence[int] = (2, 2, 2, 2)
+    # Route the stem's backward-data pass through the tap-GEMM rewrite —
+    # the XLA backward of a Cin=3 conv is MXU-lane-starved (N=3, ~4.5 TF/s
+    # measured in the SPAA attack program; see layers.conv2d_taps_bwd).
+    # Identical forward; same param path/init as the nn.Conv it replaces
+    # (tests/test_taps_bwd.py). Toggleable for A/B (tools/taps_ab.py).
+    taps_stem: bool = True
 
     input_size = (224, 224)
 
     @nn.compact
     def __call__(self, x):
-        x = _conv(64, 7, 2, 3, "conv1")(x)
+        if self.taps_stem:
+            x = ConvStemTapsBwd(64, (7, 7), (2, 2), (3, 3), name="conv1")(x)
+        else:
+            x = _conv(64, 7, 2, 3, "conv1")(x)
         x = EvalBatchNorm(name="bn1")(x)
         x = nn.relu(x)
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),

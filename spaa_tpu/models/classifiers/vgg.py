@@ -12,6 +12,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+from spaa_tpu.models.layers import ConvStemTapsBwd
+
 # 'D' config: ints are conv output channels, 'M' is 2x2 maxpool
 _CFG_D = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
           512, 512, 512, "M", 512, 512, 512, "M"]
@@ -19,6 +21,9 @@ _CFG_D = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
 
 class VGG16(nn.Module):
     num_classes: int = 1000
+    # Stem (conv0, Cin=3) backward-data via the tap-GEMM rewrite (see
+    # layers.conv2d_taps_bwd); toggleable for A/B (tools/taps_ab.py).
+    taps_stem: bool = True
 
     input_size = (224, 224)
 
@@ -29,9 +34,13 @@ class VGG16(nn.Module):
             if v == "M":
                 x = nn.max_pool(x, (2, 2), (2, 2))
             else:
-                x = nn.Conv(v, (3, 3), padding=[(1, 1), (1, 1)],
-                            kernel_init=nn.initializers.he_normal(),
-                            name=f"conv{conv_i}")(x)
+                if conv_i == 0 and self.taps_stem:
+                    x = ConvStemTapsBwd(v, (3, 3), (1, 1), (1, 1),
+                                        use_bias=True, name="conv0")(x)
+                else:
+                    x = nn.Conv(v, (3, 3), padding=[(1, 1), (1, 1)],
+                                kernel_init=nn.initializers.he_normal(),
+                                name=f"conv{conv_i}")(x)
                 x = nn.relu(x)
                 conv_i += 1
         # torch flattens NCHW: [N, C, H, W] -> [N, C*H*W]

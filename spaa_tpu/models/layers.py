@@ -9,6 +9,7 @@ weight, while using lax convolutions that XLA maps onto the MXU.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
@@ -63,6 +64,128 @@ def conv2d_nhwc(x, kernel, bias=None, strides=(1, 1), padding=(0, 0)):
     if bias is not None:
         y = y + bias
     return y
+
+
+def _igrad_taps(cot, kernel, strides, padding, in_hw):
+    """Input cotangent of ``conv2d_nhwc(x, kernel, strides, padding)``
+    computed as a tap-GEMM plus static shifted adds.
+
+    XLA lowers a conv's backward-data pass as another conv whose GEMM
+    N-dimension is the INPUT channel count — for small-Cin layers (a
+    classifier stem taking a 3-channel image) that uses 3 of the MXU's
+    128 lanes and runs at ~4-5 TF/s (measured, tools/trace_attack.py).
+    Here the contraction over output channels happens first:
+
+        T[b, ho, wo, (i, j, c)] = sum_o cot[b, ho, wo, o] * W[i, j, c, o]
+
+    one dot_general with N = kh*kw*cin (147 for a 7x7x3 stem — full
+    lanes), followed by the purely data-movement overlap-add
+
+        g[b, u, v, c] = sum_{i,j} T[b, (u+ph-i)/sh, (v+pw-j)/sw, (i,j,c)]
+
+    over the taps where the division is exact — static slices + pads +
+    adds grouped by output phase (u mod sh, v mod sw), which XLA fuses
+    into one pass over T. Same FLOPs, same result up to accumulation
+    order (the per-tap dot accumulates in f32 exactly like the conv; the
+    <= ceil(kh/sh)*ceil(kw/sw) tap adds happen in cot's dtype).
+    """
+    kh, kw, ci, co = kernel.shape
+    sh, sw = strides
+    ph, pw = padding
+    hh, ww = in_hw
+    b, ho, wo = cot.shape[:3]
+    wr = kernel.reshape(kh * kw * ci, co)
+    t = jax.lax.dot_general(cot, wr, (((3,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    t = t.astype(cot.dtype).reshape(b, ho, wo, kh, kw, ci)
+
+    q_h = -(-hh // sh)            # rows per H-phase (ceil)
+    q_w = -(-ww // sw)
+    phase_rows = []
+    for r in range(sh):
+        phase_cols = []
+        for rw in range(sw):
+            acc = jnp.zeros((b, q_h, q_w, ci), t.dtype)
+            for i in range(kh):
+                if (r + ph - i) % sh:
+                    continue
+                th = (r + ph - i) // sh
+                q0 = max(0, -th)
+                q1 = min(q_h, ho - th)
+                if q1 <= q0:
+                    continue
+                for j in range(kw):
+                    if (rw + pw - j) % sw:
+                        continue
+                    tw = (rw + pw - j) // sw
+                    p0 = max(0, -tw)
+                    p1 = min(q_w, wo - tw)
+                    if p1 <= p0:
+                        continue
+                    sl = t[:, q0 + th:q1 + th, p0 + tw:p1 + tw, i, j, :]
+                    acc = acc + jnp.pad(
+                        sl, ((0, 0), (q0, q_h - q1), (p0, q_w - p1), (0, 0)))
+            phase_cols.append(acc)
+        phase_rows.append(jnp.stack(phase_cols, axis=3))  # [b,q_h,q_w,sw,ci]
+    g = jnp.stack(phase_rows, axis=2)                     # [b,q_h,sh,q_w,sw,ci]
+    g = g.reshape(b, q_h * sh, q_w * sw, ci)
+    return g[:, :hh, :ww, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv2d_taps_bwd(x, kernel, strides, padding):
+    """``conv2d_nhwc`` (bias-less) with the backward-data pass rewritten as
+    the tap-GEMM of :func:`_igrad_taps`. Bitwise-identical forward; the
+    input gradient is mathematically identical (reordered accumulation).
+    Use for small-Cin convs whose XLA backward is lane-starved — e.g. the
+    classifier stems the SPAA attack differentiates through every
+    iteration (``strides``/``padding`` must be static tuples)."""
+    return conv2d_nhwc(x, kernel, None, strides, padding)
+
+
+def _conv2d_taps_fwd(x, kernel, strides, padding):
+    return (conv2d_nhwc(x, kernel, None, strides, padding),
+            (x, kernel, x.shape[1:3]))
+
+
+def _conv2d_taps_bwd(strides, padding, res, cot):
+    x, kernel, in_hw = res
+    g_x = _igrad_taps(cot, kernel, strides, padding, in_hw)
+    # weight grad via the standard conv transpose rule (DCE'd by XLA when
+    # the kernel is a frozen jit argument, as in the attack programs)
+    _, vjp = jax.vjp(
+        lambda k: conv2d_nhwc(x, k, None, strides, padding), kernel)
+    return g_x, vjp(cot)[0]
+
+
+conv2d_taps_bwd.defvjp(_conv2d_taps_fwd, _conv2d_taps_bwd)
+
+
+class ConvStemTapsBwd(nn.Module):
+    """Drop-in for the classifier stems' ``nn.Conv``: same param
+    names/shapes/inits (``kernel`` HWIO he_normal, optional ``bias``
+    zeros) so converted torchvision weights load unchanged, but the
+    backward-data pass runs through :func:`conv2d_taps_bwd` (see there).
+    The bias add lives outside the custom vjp — its gradient is the
+    standard autodiff sum, untouched."""
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] = (1, 1)
+    padding: Sequence[int] = (0, 0)
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = _pair(self.kernel_size)
+        kernel = self.param("kernel", nn.initializers.he_normal(),
+                            (kh, kw, x.shape[-1], self.features))
+        y = conv2d_taps_bwd(x, kernel, _pair(self.strides),
+                            _pair(self.padding))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 def pack_block_diag(w_a, b_a, w_b, b_b):

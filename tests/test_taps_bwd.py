@@ -1,0 +1,176 @@
+"""conv2d_taps_bwd: tap-GEMM backward-data vs XLA's conv transpose.
+
+The forward must be bitwise-identical to conv2d_nhwc; the input gradient
+mathematically identical (accumulation reordered), and the weight gradient
+untouched. Covers the classifier-stem shapes the SPAA attack
+differentiates through (resnet18 7x7/2 p3, inception 3x3/2 p0 on an odd
+299 input) plus stride-1 and asymmetric-shape cases.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spaa_tpu.models.layers import conv2d_nhwc, conv2d_taps_bwd
+
+
+CASES = [
+    # (in_hw, cin, cout, k, s, p)  — stems + generic shapes
+    ((224, 224), 3, 8, 7, 2, 3),   # resnet18 stem (cout shrunk)
+    ((299, 299), 3, 8, 3, 2, 0),   # inception stem: odd size, no pad
+    ((20, 28), 3, 16, 3, 1, 1),    # stride 1
+    ((17, 13), 5, 4, 5, 3, 2),     # odd everything, s > kh coverage
+    ((10, 10), 2, 3, 2, 2, 0),     # k == s
+    ((9, 11), 3, 4, 4, 2, 1),      # even k, odd input
+]
+
+
+@pytest.mark.parametrize("in_hw,cin,cout,k,s,p", CASES)
+def test_taps_bwd_matches_xla(in_hw, cin, cout, k, s, p):
+    rng = np.random.default_rng(42)
+    x = jnp.asarray(rng.standard_normal((2, *in_hw, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, k, cin, cout)) * 0.1,
+                    jnp.float32)
+
+    y_ref, vjp_ref = jax.vjp(
+        lambda a, b: conv2d_nhwc(a, b, None, (s, s), (p, p)), x, w)
+    y_tap, vjp_tap = jax.vjp(
+        lambda a, b: conv2d_taps_bwd(a, b, (s, s), (p, p)), x, w)
+
+    # forward is the same primitive — bitwise
+    np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_tap))
+
+    cot = jnp.asarray(rng.standard_normal(y_ref.shape), jnp.float32)
+    gx_ref, gw_ref = vjp_ref(cot)
+    gx_tap, gw_tap = vjp_tap(cot)
+    # input grad: identical sums, reordered accumulation
+    np.testing.assert_allclose(np.asarray(gx_tap), np.asarray(gx_ref),
+                               rtol=1e-5, atol=1e-5)
+    # weight grad: same rule on both paths
+    np.testing.assert_allclose(np.asarray(gw_tap), np.asarray(gw_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_taps_bwd_bf16_close():
+    """The TPU attack path runs classifiers in bf16: the tap-GEMM still
+    dots in f32 (preferred_element_type) and only the <=16 overlap-adds
+    happen in bf16, so the igrad must stay within a few bf16 ulps of the
+    XLA backward (which accumulates everything in f32 before rounding)."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((2, 56, 56, 3)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((7, 7, 3, 16)) * 0.1, jnp.bfloat16)
+
+    y_ref, vjp_ref = jax.vjp(
+        lambda a: conv2d_nhwc(a, w, None, (2, 2), (3, 3)), x)
+    y_tap, vjp_tap = jax.vjp(
+        lambda a: conv2d_taps_bwd(a, w, (2, 2), (3, 3)), x)
+    np.testing.assert_array_equal(
+        np.asarray(y_ref, np.float32), np.asarray(y_tap, np.float32))
+
+    cot = jnp.asarray(rng.standard_normal(y_ref.shape) * 0.1, jnp.bfloat16)
+    gx_ref = np.asarray(vjp_ref(cot)[0], np.float32)
+    gx_tap = np.asarray(vjp_tap(cot)[0], np.float32)
+    scale = np.abs(gx_ref).max()
+    np.testing.assert_allclose(gx_tap, gx_ref, atol=0.05 * scale, rtol=0.1)
+
+
+def test_taps_bwd_second_order_not_needed_but_jits():
+    """The attack jits the igrad inside fori_loop — make sure the custom
+    vjp traces under jit and grad-of-scalar composition."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((3, 16, 16, 3)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 4)) * 0.1, jnp.float32)
+
+    @jax.jit
+    def loss_grad(x, w):
+        return jax.grad(
+            lambda a: jnp.sum(conv2d_taps_bwd(a, w, (2, 2), (1, 1)) ** 2))(x)
+
+    g = loss_grad(x, w)
+    g_ref = jax.grad(
+        lambda a: jnp.sum(conv2d_nhwc(a, w, None, (2, 2), (1, 1)) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_stem_module_param_compat():
+    """ConvStemTapsBwd must expose the exact same param tree as the
+    nn.Conv it replaces, so converted torchvision weights load as before."""
+    from flax import linen as nn
+    from spaa_tpu.models.layers import ConvStemTapsBwd
+
+    x = jnp.zeros((1, 32, 32, 3))
+    ref = nn.Conv(8, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
+                  use_bias=False, kernel_init=nn.initializers.he_normal(),
+                  name="conv1")
+    new = ConvStemTapsBwd(8, (7, 7), (2, 2), (3, 3), name="conv1")
+    p_ref = ref.init(jax.random.PRNGKey(0), x)["params"]
+    p_new = new.init(jax.random.PRNGKey(0), x)["params"]
+    assert jax.tree.structure(p_ref) == jax.tree.structure(p_new)
+    assert (jax.tree.map(lambda a: a.shape, p_ref)
+            == jax.tree.map(lambda a: a.shape, p_new))
+    # identical init draw given the same key/shape/initializer
+    np.testing.assert_array_equal(*(np.asarray(t)
+                                    for t in (p_ref["kernel"],
+                                              p_new["kernel"])))
+    y_ref = ref.apply({"params": p_ref},
+                      jnp.ones((1, 32, 32, 3)))
+    y_new = new.apply({"params": p_new}, jnp.ones((1, 32, 32, 3)))
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_new),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_stem_module_bias_compat():
+    """use_bias=True must match nn.Conv(use_bias=True): same param tree
+    (kernel+bias), same forward, and the bias gradient is the plain
+    cotangent sum (the bias add sits outside the custom vjp)."""
+    from flax import linen as nn
+    from spaa_tpu.models.layers import ConvStemTapsBwd
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((2, 20, 20, 3)), jnp.float32)
+    ref = nn.Conv(6, (3, 3), (1, 1), padding=[(1, 1), (1, 1)],
+                  kernel_init=nn.initializers.he_normal(), name="conv0")
+    new = ConvStemTapsBwd(6, (3, 3), (1, 1), (1, 1), use_bias=True,
+                          name="conv0")
+    p_ref = ref.init(jax.random.PRNGKey(1), x)["params"]
+    p_new = new.init(jax.random.PRNGKey(1), x)["params"]
+    assert jax.tree.structure(p_ref) == jax.tree.structure(p_new)
+    np.testing.assert_array_equal(np.asarray(p_ref["kernel"]),
+                                  np.asarray(p_new["kernel"]))
+
+    def loss(mod, p):
+        return jnp.sum(mod.apply({"params": p}, x) ** 2)
+
+    l_ref, g_ref = jax.value_and_grad(lambda p: loss(ref, p))(p_ref)
+    l_new, g_new = jax.value_and_grad(lambda p: loss(new, p))(p_new)
+    np.testing.assert_allclose(float(l_ref), float(l_new), rtol=1e-6)
+    for k in ("kernel", "bias"):
+        np.testing.assert_allclose(np.asarray(g_ref[k]),
+                                   np.asarray(g_new[k]),
+                                   rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["resnet18", "vgg16", "inception_v3"])
+def test_classifier_taps_stem_toggle_parity(name):
+    """taps_stem=True (default) vs False on the real zoo modules: same
+    param tree and values, bitwise forward, matching input grad — so the
+    stem rewrite can never change converted-weight loading or logits."""
+    from spaa_tpu.models.classifiers import _MODELS
+
+    cls, sz = _MODELS[name]
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random((1, *sz, 3), np.float32))
+    m1, m0 = cls(taps_stem=True), cls(taps_stem=False)
+    p1 = m1.init(jax.random.PRNGKey(0), x)["params"]
+    p0 = m0.init(jax.random.PRNGKey(0), x)["params"]
+    assert jax.tree.structure(p0) == jax.tree.structure(p1)
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(m0.apply({"params": p0}, x)),
+        np.asarray(m1.apply({"params": p1}, x)))
+    g1 = jax.grad(lambda a: jnp.sum(m1.apply({"params": p1}, a) ** 2))(x)
+    g0 = jax.grad(lambda a: jnp.sum(m0.apply({"params": p0}, a) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=2e-4, atol=2e-4)

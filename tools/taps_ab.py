@@ -1,0 +1,58 @@
+"""In-context A/B of the classifier-stem tap-GEMM backward (taps_stem).
+
+tests/test_taps_bwd.py proves conv2d_taps_bwd is forward-bitwise and
+igrad-mathematically identical to the XLA path; /tmp-level microbenches
+showed the isolated stem backward is lane-starved (GEMM N = Cin = 3).
+But this repo's small-conv history (tools/incontext_ab.py) says isolated
+wins can be in-context losses — XLA layout/fusion around a rewrite can
+cost more than the rewrite saves. So: time the PRODUCTION SPAA sweep
+program (the exact bench.py shape, trained ckpt + real scene/mask when
+/tmp/simbench is present) per classifier with taps_stem on vs off.
+
+Run on TPU:  python tools/taps_ab.py [iters]
+Decision rule: keep taps_stem=True defaults only if no classifier's
+sweep program regresses and at least one improves.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    from trace_attack import build_sweep
+
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+
+    def force(out):
+        return np.asarray(jax.tree.leaves(out)[0].ravel()[0])
+
+    print(f"backend={jax.default_backend()} iters={iters}", flush=True)
+    force(jax.numpy.zeros(1))          # axon session warm-up
+
+    for clf in ("resnet18", "vgg16", "inception_v3"):
+        row = {}
+        for label, kw in (("taps", {"taps_stem": True}),
+                          ("xla", {"taps_stem": False})):
+            fn, args = build_sweep(clf, iters, model_kw=kw)
+            force(fn(*args))           # compile
+            t0 = time.time()
+            reps = 3
+            for _ in range(reps):
+                out = fn(*args)
+            force(out)
+            row[label] = (time.time() - t0) / reps
+            del fn, args, out
+        print(f"{clf:14s}: taps {row['taps']:.3f} s  "
+              f"xla {row['xla']:.3f} s  "
+              f"(x{row['xla'] / row['taps']:.3f}, "
+              f"{1e3 * (row['xla'] - row['taps']) / iters:+.2f} ms/iter)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
