@@ -217,7 +217,8 @@ def run_projector_based_attack(cfg, procams=None,
 
 
 def make_pcnet_fn(trained, use_pallas_warp: Optional[bool] = None,
-                  compute_dtype: Optional[str] = None):
+                  compute_dtype: Optional[str] = None,
+                  taps_stem: Optional[bool] = None):
     """Frozen PCNet forward with the baked simplify cache.
 
     Returns ``(pcnet_apply, pcnet_state)`` with
@@ -229,16 +230,23 @@ def make_pcnet_fn(trained, use_pallas_warp: Optional[bool] = None,
       - the constant-grid warp runs through the Pallas two-stage-gather
         kernel (``ops.pallas.warp``) instead of XLA gather/scatter;
       - the shading CNN computes in bfloat16 (f32 in/out) — the MXU's
-        native dtype; attack gradients stay f32 outside.
+        native dtype; attack gradients stay f32 outside;
+      - conv1/conv1_s backward-data via the tap-GEMM rewrite
+        (``taps_stem``; identical forward, see layers.conv2d_taps_bwd).
     """
     on_tpu = jax.default_backend() == "tpu"
     if use_pallas_warp is None:
         use_pallas_warp = on_tpu
     if compute_dtype is None:
         compute_dtype = "bfloat16" if on_tpu else "float32"
+    if taps_stem is None:
+        taps_stem = on_tpu
     cdtype = jnp.dtype(compute_dtype)
 
     model = trained.model
+    if taps_stem and getattr(model, "taps_stem", None) is False:
+        # param tree is identical either way (tests/test_taps_bwd.py)
+        model = model.clone(taps_stem=True)
     cache = trained.simplify()
     state = dict(params=trained.params, cache=cache, mask=trained.mask,
                  scene=jnp.asarray(trained.cam_scene))

@@ -293,6 +293,9 @@ class Conv2dTorchE(nn.Module):
     padding: int | Sequence[int] = 0
     use_bias: bool = True
     kernel_init: nn.initializers.Initializer = kaiming_normal_torch
+    # Backward-data via conv2d_taps_bwd (small-Cin lane-starvation fix;
+    # identical forward, reordered-accumulation igrad, same wgrad rule).
+    taps_bwd: bool = False
 
     def setup(self):
         kh, kw = _pair(self.kernel_size)
@@ -307,6 +310,10 @@ class Conv2dTorchE(nn.Module):
         if x.shape[-1] != self.in_features:
             raise ValueError(f"expected {self.in_features} input channels, "
                              f"got {x.shape[-1]}")
+        if self.taps_bwd:
+            y = conv2d_taps_bwd(x, self.kernel, _pair(self.strides),
+                                _pair(self.padding))
+            return y if self.bias is None else y + self.bias.astype(y.dtype)
         return conv2d_nhwc(x, self.kernel, self.bias, _pair(self.strides),
                            _pair(self.padding))
 

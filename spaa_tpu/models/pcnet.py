@@ -45,6 +45,10 @@ class PCNet(nn.Module):
     # tools/incontext_ab.py)
     packed_encoder: bool = False
     subpix_tconv: bool | None = None
+    # taps_stem: conv1/conv1_s backward-data via the tap-GEMM rewrite
+    # (see ShadingNetSPAA.taps_stem). Default off; the frozen attack
+    # forward opts in on TPU (attack/orchestrate.make_pcnet_fn).
+    taps_stem: bool = False
 
     @property
     def model_name(self) -> str:
@@ -61,7 +65,8 @@ class PCNet(nn.Module):
                                       with_refine=self.with_refine)
         self.shading_net = ShadingNetSPAA(use_rough=self.use_rough,
                                           packed_encoder=self.packed_encoder,
-                                          subpix_tconv=self.subpix_tconv)
+                                          subpix_tconv=self.subpix_tconv,
+                                          taps_stem=self.taps_stem)
 
     def __call__(self, x: jax.Array, s: jax.Array,
                  mask: Optional[jax.Array] = None,

@@ -47,6 +47,14 @@ class ShadingNetSPAA(nn.Module):
     # Subpixel form of transConv2 — same story: 3.4-5x alone, 3-16% whole-
     # program regression; see layers.ConvTranspose2dTorch.subpix.
     subpix_tconv: bool | None = None
+    # Backward-data of the small-Cin encoder stems (conv1 Cin=3, conv1_s
+    # Cin=6/3) via the tap-GEMM rewrite (layers.conv2d_taps_bwd): the XLA
+    # backward of these convs uses Cin of the MXU's 128 GEMM lanes. The
+    # attack hot loop differentiates both every iteration (rough = xw·s
+    # keeps conv1_s live even with the simplify cache). Identical forward;
+    # igrad is the same sum with reordered accumulation. Default off —
+    # training keeps XLA's backward; the attack opts in (make_pcnet_fn).
+    taps_stem: bool = False
 
     @property
     def model_name(self) -> str:
@@ -54,14 +62,16 @@ class ShadingNetSPAA(nn.Module):
 
     def setup(self):
         relu = nn.relu
-        self.conv1 = Conv2dTorchE(32, 3, 3, 2, 1, name="conv1")
+        self.conv1 = Conv2dTorchE(32, 3, 3, 2, 1, name="conv1",
+                                  taps_bwd=self.taps_stem)
         self.conv2 = Conv2dTorchE(64, 32, 3, 2, 1, name="conv2")
         self.conv3 = Conv2dTorch(128, 3, 1, 1, name="conv3")
         self.conv4 = Conv2dTorch(256, 3, 1, 1, name="conv4")
         self.conv5 = Conv2dTorch(128, 3, 1, 1, name="conv5")
 
         cs = 6 if self.use_rough else 3
-        self.conv1_s = Conv2dTorchE(32, cs, 3, 2, 1, name="conv1_s")
+        self.conv1_s = Conv2dTorchE(32, cs, 3, 2, 1, name="conv1_s",
+                                    taps_bwd=self.taps_stem)
         self.conv2_s = Conv2dTorchE(64, 32, 3, 2, 1, name="conv2_s")
         self.conv3_s = Conv2dTorch(128, 3, 1, 1, name="conv3_s")
         self.conv4_s = Conv2dTorch(256, 3, 1, 1, name="conv4_s")

@@ -174,3 +174,39 @@ def test_classifier_taps_stem_toggle_parity(name):
     g0 = jax.grad(lambda a: jnp.sum(m0.apply({"params": p0}, a) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pcnet_taps_stem_toggle_parity():
+    """PCNet(taps_stem=True) vs default: identical param tree/values and
+    forward, matching prj-input grad — the attack-path opt-in
+    (make_pcnet_fn) can never change results."""
+    from spaa_tpu.models import PCNet
+
+    rng = np.random.default_rng(5)
+    cam_hw, prj_hw = (48, 64), (32, 32)
+    x = jnp.asarray(rng.random((2, *prj_hw, 3), np.float32))
+    s = jnp.asarray(rng.random((1, *cam_hw, 3), np.float32))
+    mask = jnp.ones((*cam_hw, 1), jnp.float32)
+    m0, m1 = (PCNet(out_size=cam_hw, taps_stem=t) for t in (False, True))
+    p0 = m0.init(jax.random.PRNGKey(0), x[:1], s, mask)["params"]
+    p1 = m1.init(jax.random.PRNGKey(0), x[:1], s, mask)["params"]
+    assert jax.tree.structure(p0) == jax.tree.structure(p1)
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(m0.apply({"params": p0}, x, s, mask)),
+        np.asarray(m1.apply({"params": p1}, x, s, mask)))
+    g0 = jax.grad(lambda a: jnp.sum(
+        m0.apply({"params": p0}, a, s, mask) ** 2))(x)
+    g1 = jax.grad(lambda a: jnp.sum(
+        m1.apply({"params": p1}, a, s, mask) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=2e-4, atol=2e-4)
+    # training parity: kernel grads of the taps convs follow the same rule
+    tg0 = jax.grad(lambda p: jnp.sum(
+        m0.apply({"params": p}, x, s, mask) ** 2))(p0)
+    tg1 = jax.grad(lambda p: jnp.sum(
+        m1.apply({"params": p}, x, s, mask) ** 2))(p1)
+    for a, b in zip(jax.tree.leaves(tg0), jax.tree.leaves(tg1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4)

@@ -34,11 +34,17 @@ def main():
     print(f"backend={jax.default_backend()} iters={iters}", flush=True)
     force(jax.numpy.zeros(1))          # axon session warm-up
 
+    # variants: neither / classifier-stem only / pcnet-stem only / both —
+    # each knob judged independently in the full program
+    variants = (("off ", {"taps_stem": False}, False),
+                ("clf ", {"taps_stem": True}, False),
+                ("pcn ", {"taps_stem": False}, True),
+                ("both", {"taps_stem": True}, True))
     for clf in ("resnet18", "vgg16", "inception_v3"):
         row = {}
-        for label, kw in (("taps", {"taps_stem": True}),
-                          ("xla", {"taps_stem": False})):
-            fn, args = build_sweep(clf, iters, model_kw=kw)
+        for label, kw, ptaps in variants:
+            fn, args = build_sweep(clf, iters, model_kw=kw,
+                                   pcnet_taps=ptaps)
             force(fn(*args))           # compile
             t0 = time.time()
             reps = 3
@@ -47,11 +53,11 @@ def main():
             force(out)
             row[label] = (time.time() - t0) / reps
             del fn, args, out
-        print(f"{clf:14s}: taps {row['taps']:.3f} s  "
-              f"xla {row['xla']:.3f} s  "
-              f"(x{row['xla'] / row['taps']:.3f}, "
-              f"{1e3 * (row['xla'] - row['taps']) / iters:+.2f} ms/iter)",
-              flush=True)
+        base = row["off "]
+        print(f"{clf:14s}: " + "  ".join(
+            f"{lab.strip()} {row[lab]:.3f}s"
+            + (f" (x{base / row[lab]:.3f})" if lab != "off " else "")
+            for lab, _, _ in variants), flush=True)
 
 
 if __name__ == "__main__":

@@ -34,7 +34,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build_sweep(classifier_name: str, iters: int, model_kw=None):
+def build_sweep(classifier_name: str, iters: int, model_kw=None,
+                pcnet_taps=None):
     import jax
     import jax.numpy as jnp
 
@@ -74,7 +75,7 @@ def build_sweep(classifier_name: str, iters: int, model_kw=None):
                   "classifier_crop_sz": list(CP_SZ)}
     trained = TrainedModel(pcnet, params, jnp.asarray(mask), cam_scene,
                            setup_info, None, "PCNet")
-    pcnet_apply, pcnet_state = make_pcnet_fn(trained)
+    pcnet_apply, pcnet_state = make_pcnet_fn(trained, taps_stem=pcnet_taps)
     cdtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
     cparams = load_params(classifier_name, None, verbose=False)[0]
