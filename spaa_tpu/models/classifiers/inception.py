@@ -12,7 +12,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from spaa_tpu.models.classifiers.resnet import EvalBatchNorm
-from spaa_tpu.models.layers import ConvStemTapsBwd
+from spaa_tpu.models.layers import ConvStemTapsBwd, max_pool_taps_bwd
 
 
 class BasicConv2d(nn.Module):
@@ -42,7 +42,11 @@ class BasicConv2d(nn.Module):
         return nn.relu(x)
 
 
-def _maxpool3x3s2(x):
+def _maxpool3x3s2(x, taps=False):
+    # taps: backward via layers.max_pool_taps_bwd (identical forward, no
+    # SelectAndScatter in the gradient)
+    if taps:
+        return max_pool_taps_bwd(x, (3, 3), (2, 2))
     return nn.max_pool(x, (3, 3), (2, 2), padding="VALID")
 
 
@@ -70,13 +74,15 @@ class InceptionA(nn.Module):
 
 
 class InceptionB(nn.Module):
+    taps_pool: bool = False
+
     @nn.compact
     def __call__(self, x):
         b3 = BasicConv2d(384, (3, 3), stride=2, name="branch3x3")(x)
         bd = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
         bd = BasicConv2d(96, (3, 3), padding=(1, 1), name="branch3x3dbl_2")(bd)
         bd = BasicConv2d(96, (3, 3), stride=2, name="branch3x3dbl_3")(bd)
-        bp = _maxpool3x3s2(x)
+        bp = _maxpool3x3s2(x, self.taps_pool)
         return jnp.concatenate([b3, bd, bp], axis=-1)
 
 
@@ -101,6 +107,8 @@ class InceptionC(nn.Module):
 
 
 class InceptionD(nn.Module):
+    taps_pool: bool = False
+
     @nn.compact
     def __call__(self, x):
         b3 = BasicConv2d(192, (1, 1), name="branch3x3_1")(x)
@@ -109,7 +117,7 @@ class InceptionD(nn.Module):
         b7 = BasicConv2d(192, (1, 7), padding=(0, 3), name="branch7x7x3_2")(b7)
         b7 = BasicConv2d(192, (7, 1), padding=(3, 0), name="branch7x7x3_3")(b7)
         b7 = BasicConv2d(192, (3, 3), stride=2, name="branch7x7x3_4")(b7)
-        bp = _maxpool3x3s2(x)
+        bp = _maxpool3x3s2(x, self.taps_pool)
         return jnp.concatenate([b3, b7, bp], axis=-1)
 
 
@@ -137,6 +145,9 @@ class InceptionV3(nn.Module):
     # Stem backward-data via the tap-GEMM rewrite (see
     # layers.conv2d_taps_bwd); toggleable for A/B (tools/taps_ab.py).
     taps_stem: bool = True
+    # Max-pool backward via the argmax-routing rewrite (see
+    # layers.max_pool_taps_bwd) instead of XLA SelectAndScatter.
+    taps_pool: bool = True
 
     input_size = (299, 299)
 
@@ -153,19 +164,19 @@ class InceptionV3(nn.Module):
                         name="Conv2d_1a_3x3")(x)
         x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3")(x)
         x = BasicConv2d(64, (3, 3), padding=(1, 1), name="Conv2d_2b_3x3")(x)
-        x = _maxpool3x3s2(x)
+        x = _maxpool3x3s2(x, self.taps_pool)
         x = BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1")(x)
         x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3")(x)
-        x = _maxpool3x3s2(x)
+        x = _maxpool3x3s2(x, self.taps_pool)
         x = InceptionA(32, name="Mixed_5b")(x)
         x = InceptionA(64, name="Mixed_5c")(x)
         x = InceptionA(64, name="Mixed_5d")(x)
-        x = InceptionB(name="Mixed_6a")(x)
+        x = InceptionB(taps_pool=self.taps_pool, name="Mixed_6a")(x)
         x = InceptionC(128, name="Mixed_6b")(x)
         x = InceptionC(160, name="Mixed_6c")(x)
         x = InceptionC(160, name="Mixed_6d")(x)
         x = InceptionC(192, name="Mixed_6e")(x)
-        x = InceptionD(name="Mixed_7a")(x)
+        x = InceptionD(taps_pool=self.taps_pool, name="Mixed_7a")(x)
         x = InceptionE(name="Mixed_7b")(x)
         x = InceptionE(name="Mixed_7c")(x)
         x = jnp.mean(x, axis=(1, 2))

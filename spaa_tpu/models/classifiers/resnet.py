@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from spaa_tpu.models.layers import ConvStemTapsBwd
+from spaa_tpu.models.layers import ConvStemTapsBwd, max_pool_taps_bwd
 
 
 class EvalBatchNorm(nn.Module):
@@ -70,6 +70,9 @@ class ResNet18(nn.Module):
     # Identical forward; same param path/init as the nn.Conv it replaces
     # (tests/test_taps_bwd.py). Toggleable for A/B (tools/taps_ab.py).
     taps_stem: bool = True
+    # Max-pool backward via the argmax-routing rewrite (see
+    # layers.max_pool_taps_bwd) instead of XLA SelectAndScatter.
+    taps_pool: bool = True
 
     input_size = (224, 224)
 
@@ -83,7 +86,10 @@ class ResNet18(nn.Module):
         x = nn.relu(x)
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
                     constant_values=-jnp.inf)
-        x = nn.max_pool(x, (3, 3), (2, 2), padding="VALID")
+        if self.taps_pool:
+            x = max_pool_taps_bwd(x, (3, 3), (2, 2))
+        else:
+            x = nn.max_pool(x, (3, 3), (2, 2), padding="VALID")
         for i, (feats, blocks) in enumerate(
                 zip((64, 128, 256, 512), self.stage_sizes)):
             for b in range(blocks):

@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from spaa_tpu.models.layers import ConvStemTapsBwd
+from spaa_tpu.models.layers import ConvStemTapsBwd, max_pool_taps_bwd
 
 # 'D' config: ints are conv output channels, 'M' is 2x2 maxpool
 _CFG_D = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
@@ -24,6 +24,10 @@ class VGG16(nn.Module):
     # Stem (conv0, Cin=3) backward-data via the tap-GEMM rewrite (see
     # layers.conv2d_taps_bwd); toggleable for A/B (tools/taps_ab.py).
     taps_stem: bool = True
+    # Max-pool backward via the argmax-routing rewrite (see
+    # layers.max_pool_taps_bwd; bitwise for these non-overlapping 2x2/s2
+    # pools) instead of XLA SelectAndScatter.
+    taps_pool: bool = True
 
     input_size = (224, 224)
 
@@ -32,7 +36,8 @@ class VGG16(nn.Module):
         conv_i = 0
         for v in _CFG_D:
             if v == "M":
-                x = nn.max_pool(x, (2, 2), (2, 2))
+                x = (max_pool_taps_bwd(x, (2, 2), (2, 2))
+                     if self.taps_pool else nn.max_pool(x, (2, 2), (2, 2)))
             else:
                 if conv_i == 0 and self.taps_stem:
                     x = ConvStemTapsBwd(v, (3, 3), (1, 1), (1, 1),

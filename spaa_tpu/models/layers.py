@@ -90,22 +90,40 @@ def _igrad_taps(cot, kernel, strides, padding, in_hw):
     <= ceil(kh/sh)*ceil(kw/sw) tap adds happen in cot's dtype).
     """
     kh, kw, ci, co = kernel.shape
-    sh, sw = strides
-    ph, pw = padding
-    hh, ww = in_hw
     b, ho, wo = cot.shape[:3]
     wr = kernel.reshape(kh * kw * ci, co)
     t = jax.lax.dot_general(cot, wr, (((3,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     t = t.astype(cot.dtype).reshape(b, ho, wo, kh, kw, ci)
+    return _overlap_add_taps(lambda i, j: t[:, :, :, i, j, :],
+                             (b, ho, wo, ci), (kh, kw), strides, padding,
+                             in_hw, t.dtype)
 
+
+def _overlap_add_taps(get_tap, t_shape, window, strides, padding, in_hw,
+                      dtype):
+    """Scatter-free overlap-add over a sliding window's taps:
+
+        g[b, u, v, c] = sum_{i,j} tap(i,j)[b, (u+ph-i)/sh, (v+pw-j)/sw, c]
+
+    over the taps (i, j) where the division is exact — static slices +
+    pads + adds grouped by output phase (u mod sh, v mod sw), which XLA
+    fuses into one pass. ``get_tap(i, j)`` returns that tap's [b, ho, wo,
+    c] contribution lazily (so callers never materialize a kh*kw-wide
+    stack). Shared by the conv backward-data tap-GEMM (:func:`_igrad_taps`)
+    and the max-pool backward (:func:`_pool_igrad_taps`)."""
+    b, ho, wo, ci = t_shape
+    kh, kw = window
+    sh, sw = strides
+    ph, pw = padding
+    hh, ww = in_hw
     q_h = -(-hh // sh)            # rows per H-phase (ceil)
     q_w = -(-ww // sw)
     phase_rows = []
     for r in range(sh):
         phase_cols = []
         for rw in range(sw):
-            acc = jnp.zeros((b, q_h, q_w, ci), t.dtype)
+            acc = jnp.zeros((b, q_h, q_w, ci), dtype)
             for i in range(kh):
                 if (r + ph - i) % sh:
                     continue
@@ -122,7 +140,8 @@ def _igrad_taps(cot, kernel, strides, padding, in_hw):
                     p1 = min(q_w, wo - tw)
                     if p1 <= p0:
                         continue
-                    sl = t[:, q0 + th:q1 + th, p0 + tw:p1 + tw, i, j, :]
+                    sl = get_tap(i, j)[:, q0 + th:q1 + th,
+                                       p0 + tw:p1 + tw, :]
                     acc = acc + jnp.pad(
                         sl, ((0, 0), (q0, q_h - q1), (p0, q_w - p1), (0, 0)))
             phase_cols.append(acc)
@@ -159,6 +178,63 @@ def _conv2d_taps_bwd(strides, padding, res, cot):
 
 
 conv2d_taps_bwd.defvjp(_conv2d_taps_fwd, _conv2d_taps_bwd)
+
+
+def _pool_igrad_taps(x, cot, window, strides):
+    """Input cotangent of a VALID max-pool as elementwise argmax routing
+    plus the static overlap-add of :func:`_overlap_add_taps`.
+
+    XLA lowers reduce_window-max's backward as SelectAndScatter — a
+    serial window scan the TPU runs far off the vector units' pace. The
+    routing rule is "first maximum in row-major window order" (verified
+    against jax.grad incl. ties, tests/test_taps_bwd.py): reproduce it
+    with a strict-> running argmax over the kh*kw strided tap views, then
+    add each tap's `where(argmax==k, cot, 0)` into its input positions —
+    all elementwise ops, pads and adds. The routing itself is exact;
+    gradients are bitwise-identical when windows don't overlap (2x2 s2),
+    and ulp-level (reordered accumulation of the <=4 overlapping windows'
+    contributions) for 3x3 s2."""
+    kh, kw = window
+    sh, sw = strides
+    b, hh, ww, c = x.shape
+    ho, wo = cot.shape[1:3]
+
+    def tap_view(i, j):
+        return jax.lax.slice(x, (0, i, j, 0),
+                             (b, i + (ho - 1) * sh + 1,
+                              j + (wo - 1) * sw + 1, c), (1, sh, sw, 1))
+
+    m = tap_view(0, 0)
+    idx = jnp.zeros(m.shape, jnp.int32)
+    for k in range(1, kh * kw):
+        t = tap_view(k // kw, k % kw)
+        better = t > m
+        m = jnp.where(better, t, m)
+        idx = jnp.where(better, k, idx)
+    zero = jnp.zeros((), cot.dtype)
+    return _overlap_add_taps(
+        lambda i, j: jnp.where(idx == i * kw + j, cot, zero),
+        (b, ho, wo, c), window, strides, (0, 0), (hh, ww), cot.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def max_pool_taps_bwd(x, window, strides):
+    """``nn.max_pool(x, window, strides, padding="VALID")`` with the
+    backward pass rewritten per :func:`_pool_igrad_taps` (identical
+    forward primitive; exact routing, no SelectAndScatter).
+    ``window``/``strides`` must be static tuples."""
+    return nn.max_pool(x, window, strides, padding="VALID")
+
+
+def _max_pool_taps_fwd(x, window, strides):
+    return nn.max_pool(x, window, strides, padding="VALID"), x
+
+
+def _max_pool_taps_bwd(window, strides, x, cot):
+    return (_pool_igrad_taps(x, cot, window, strides),)
+
+
+max_pool_taps_bwd.defvjp(_max_pool_taps_fwd, _max_pool_taps_bwd)
 
 
 class ConvStemTapsBwd(nn.Module):

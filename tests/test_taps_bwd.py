@@ -151,17 +151,62 @@ def test_stem_module_bias_compat():
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_max_pool_taps_bwd_exact():
+    """Forward bitwise; gradient routing exact (integer cotangents are
+    bitwise even for overlapping 3x3/s2 windows — incl. on tie-heavy
+    relu-like inputs and the resnet -inf-pad pattern); float gradients
+    bitwise for non-overlapping 2x2/s2, ulp-close for 3x3/s2."""
+    from flax import linen as nn
+    from spaa_tpu.models.layers import max_pool_taps_bwd
+
+    rng = np.random.default_rng(0)
+    cases = [((8, 8), 4, (2, 2)), ((30, 30), 8, (3, 3)),
+             ((17, 13), 3, (3, 3)), ((12, 10), 2, (2, 2))]
+    for hw, c, k in cases:
+        # tie-heavy: quantized relu-like values with many exact zeros
+        x = jnp.asarray(np.maximum(
+            rng.integers(-3, 4, (2, *hw, c)).astype(np.float32), 0.0))
+        y0, v0 = jax.vjp(lambda a: nn.max_pool(a, k, (2, 2),
+                                               padding="VALID"), x)
+        y1, v1 = jax.vjp(lambda a: max_pool_taps_bwd(a, k, (2, 2)), x)
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+        cot = jnp.asarray(rng.standard_normal(y0.shape).astype(np.float32))
+        g0, g1 = np.asarray(v0(cot)[0]), np.asarray(v1(cot)[0])
+        if k == (2, 2):
+            np.testing.assert_array_equal(g0, g1)
+        else:
+            np.testing.assert_allclose(g1, g0, rtol=1e-5, atol=1e-6)
+        coti = jnp.asarray(rng.integers(-4, 5, y0.shape).astype(np.float32))
+        np.testing.assert_array_equal(np.asarray(v0(coti)[0]),
+                                      np.asarray(v1(coti)[0]))
+
+    # resnet stem pattern: -inf pad then 3x3/s2 VALID
+    x = jnp.asarray(rng.standard_normal((2, 20, 20, 4)).astype(np.float32))
+
+    def pad(a):
+        return jnp.pad(a, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                       constant_values=-jnp.inf)
+
+    y0, v0 = jax.vjp(lambda a: nn.max_pool(pad(a), (3, 3), (2, 2),
+                                           padding="VALID"), x)
+    y1, v1 = jax.vjp(lambda a: max_pool_taps_bwd(pad(a), (3, 3), (2, 2)), x)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    coti = jnp.asarray(rng.integers(-4, 5, y0.shape).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(v0(coti)[0]),
+                                  np.asarray(v1(coti)[0]))
+
+
 @pytest.mark.parametrize("name", ["resnet18", "vgg16", "inception_v3"])
 def test_classifier_taps_stem_toggle_parity(name):
-    """taps_stem=True (default) vs False on the real zoo modules: same
-    param tree and values, bitwise forward, matching input grad — so the
-    stem rewrite can never change converted-weight loading or logits."""
+    """All taps rewrites on (default) vs all off on the real zoo modules:
+    same param tree and values, bitwise forward, matching input grad — so
+    the rewrites can never change converted-weight loading or logits."""
     from spaa_tpu.models.classifiers import _MODELS
 
     cls, sz = _MODELS[name]
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.random((1, *sz, 3), np.float32))
-    m1, m0 = cls(taps_stem=True), cls(taps_stem=False)
+    m1, m0 = cls(), cls(taps_stem=False, taps_pool=False)
     p1 = m1.init(jax.random.PRNGKey(0), x)["params"]
     p0 = m0.init(jax.random.PRNGKey(0), x)["params"]
     assert jax.tree.structure(p0) == jax.tree.structure(p1)

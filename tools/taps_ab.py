@@ -34,12 +34,14 @@ def main():
     print(f"backend={jax.default_backend()} iters={iters}", flush=True)
     force(jax.numpy.zeros(1))          # axon session warm-up
 
-    # variants: neither / classifier-stem only / pcnet-stem only / both —
-    # each knob judged independently in the full program
-    variants = (("off ", {"taps_stem": False}, False),
-                ("clf ", {"taps_stem": True}, False),
-                ("pcn ", {"taps_stem": False}, True),
-                ("both", {"taps_stem": True}, True))
+    # variants: each rewrite judged independently in the full program,
+    # then everything on (the shipped defaults)
+    OFF = {"taps_stem": False, "taps_pool": False}
+    variants = (("off ", OFF, False),
+                ("stem", {"taps_stem": True, "taps_pool": False}, False),
+                ("pool", {"taps_stem": False, "taps_pool": True}, False),
+                ("pcn ", OFF, True),
+                ("all ", {"taps_stem": True, "taps_pool": True}, True))
     for clf in ("resnet18", "vgg16", "inception_v3"):
         row = {}
         for label, kw, ptaps in variants:
