@@ -255,3 +255,38 @@ def test_pcnet_taps_stem_toggle_parity():
     for a, b in zip(jax.tree.leaves(tg0), jax.tree.leaves(tg1)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_make_pcnet_fn_taps_clone_parity():
+    """The attack-path opt-in (make_pcnet_fn(taps_stem=True) -> model
+    .clone) must give the same forward and prj-grad as the XLA path with
+    the same TrainedModel — guards the production TPU program on CPU."""
+    from spaa_tpu.attack.orchestrate import make_pcnet_fn
+    from spaa_tpu.models import PCNet
+    from spaa_tpu.train.pipeline import TrainedModel
+
+    rng = np.random.default_rng(11)
+    cam_hw, prj_hw = (48, 64), (32, 32)
+    pcnet = PCNet(out_size=cam_hw)
+    scene = rng.random((1, *cam_hw, 3), np.float32)
+    mask = jnp.ones((*cam_hw, 1), jnp.float32)
+    params = pcnet.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, *prj_hw, 3)), jnp.asarray(scene),
+                        mask)["params"]
+    setup_info = {"prj_im_sz": [prj_hw[1], prj_hw[0]],
+                  "cam_im_sz": [cam_hw[1], cam_hw[0]],
+                  "classifier_crop_sz": [32, 32]}
+    trained = TrainedModel(pcnet, params, mask, scene, setup_info,
+                           None, "PCNet")
+    prj = jnp.asarray(rng.random((2, *prj_hw, 3), np.float32))
+
+    outs, grads = [], []
+    for taps in (False, True):
+        apply_fn, state = make_pcnet_fn(trained, use_pallas_warp=False,
+                                        compute_dtype="float32",
+                                        taps_stem=taps)
+        outs.append(np.asarray(apply_fn(state, prj)))
+        g = jax.grad(lambda p: jnp.sum(apply_fn(state, p) ** 2))(prj)
+        grads.append(np.asarray(g))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_allclose(grads[1], grads[0], rtol=2e-4, atol=2e-4)
