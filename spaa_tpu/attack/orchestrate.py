@@ -218,7 +218,8 @@ def run_projector_based_attack(cfg, procams=None,
 
 def make_pcnet_fn(trained, use_pallas_warp: Optional[bool] = None,
                   compute_dtype: Optional[str] = None,
-                  taps_stem: Optional[bool] = None):
+                  taps_stem: Optional[bool] = None,
+                  taps_enc2: Optional[bool] = None):
     """Frozen PCNet forward with the baked simplify cache.
 
     Returns ``(pcnet_apply, pcnet_state)`` with
@@ -241,12 +242,17 @@ def make_pcnet_fn(trained, use_pallas_warp: Optional[bool] = None,
         compute_dtype = "bfloat16" if on_tpu else "float32"
     if taps_stem is None:
         taps_stem = on_tpu
+    if taps_enc2 is None:
+        taps_enc2 = False   # pending in-context measurement (taps_ab.py)
     cdtype = jnp.dtype(compute_dtype)
 
     model = trained.model
-    if taps_stem and getattr(model, "taps_stem", None) is False:
+    updates = {k: True for k, want in
+               (("taps_stem", taps_stem), ("taps_enc2", taps_enc2))
+               if want and getattr(model, k, None) is False}
+    if updates:
         # param tree is identical either way (tests/test_taps_bwd.py)
-        model = model.clone(taps_stem=True)
+        model = model.clone(**updates)
     cache = trained.simplify()
     state = dict(params=trained.params, cache=cache, mask=trained.mask,
                  scene=jnp.asarray(trained.cam_scene))

@@ -45,10 +45,12 @@ class PCNet(nn.Module):
     # tools/incontext_ab.py)
     packed_encoder: bool = False
     subpix_tconv: bool | None = None
-    # taps_stem: conv1/conv1_s backward-data via the tap-GEMM rewrite
-    # (see ShadingNetSPAA.taps_stem). Default off; the frozen attack
-    # forward opts in on TPU (attack/orchestrate.make_pcnet_fn).
+    # taps_stem/taps_enc2: conv1/conv1_s (resp. conv2/conv2_s)
+    # backward-data via the tap-GEMM rewrite (see ShadingNetSPAA).
+    # Default off; the frozen attack forward opts in on TPU
+    # (attack/orchestrate.make_pcnet_fn).
     taps_stem: bool = False
+    taps_enc2: bool = False
 
     @property
     def model_name(self) -> str:
@@ -66,7 +68,8 @@ class PCNet(nn.Module):
         self.shading_net = ShadingNetSPAA(use_rough=self.use_rough,
                                           packed_encoder=self.packed_encoder,
                                           subpix_tconv=self.subpix_tconv,
-                                          taps_stem=self.taps_stem)
+                                          taps_stem=self.taps_stem,
+                                          taps_enc2=self.taps_enc2)
 
     def __call__(self, x: jax.Array, s: jax.Array,
                  mask: Optional[jax.Array] = None,

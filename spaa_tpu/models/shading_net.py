@@ -55,6 +55,9 @@ class ShadingNetSPAA(nn.Module):
     # igrad is the same sum with reordered accumulation. Default off —
     # training keeps XLA's backward; the attack opts in (make_pcnet_fn).
     taps_stem: bool = False
+    # Same rewrite for the second encoder pair (conv2/conv2_s, Cin=32:
+    # XLA's backward uses 32 of 128 lanes; the tap-GEMM N = 288).
+    taps_enc2: bool = False
 
     @property
     def model_name(self) -> str:
@@ -64,7 +67,8 @@ class ShadingNetSPAA(nn.Module):
         relu = nn.relu
         self.conv1 = Conv2dTorchE(32, 3, 3, 2, 1, name="conv1",
                                   taps_bwd=self.taps_stem)
-        self.conv2 = Conv2dTorchE(64, 32, 3, 2, 1, name="conv2")
+        self.conv2 = Conv2dTorchE(64, 32, 3, 2, 1, name="conv2",
+                                  taps_bwd=self.taps_enc2)
         self.conv3 = Conv2dTorch(128, 3, 1, 1, name="conv3")
         self.conv4 = Conv2dTorch(256, 3, 1, 1, name="conv4")
         self.conv5 = Conv2dTorch(128, 3, 1, 1, name="conv5")
@@ -72,7 +76,8 @@ class ShadingNetSPAA(nn.Module):
         cs = 6 if self.use_rough else 3
         self.conv1_s = Conv2dTorchE(32, cs, 3, 2, 1, name="conv1_s",
                                     taps_bwd=self.taps_stem)
-        self.conv2_s = Conv2dTorchE(64, 32, 3, 2, 1, name="conv2_s")
+        self.conv2_s = Conv2dTorchE(64, 32, 3, 2, 1, name="conv2_s",
+                                    taps_bwd=self.taps_enc2)
         self.conv3_s = Conv2dTorch(128, 3, 1, 1, name="conv3_s")
         self.conv4_s = Conv2dTorch(256, 3, 1, 1, name="conv4_s")
 

@@ -37,11 +37,13 @@ def main():
     # variants: each rewrite judged independently in the full program,
     # then everything on (the shipped defaults)
     OFF = {"taps_stem": False, "taps_pool": False}
+    ON = {"taps_stem": True, "taps_pool": True}
     variants = (("off ", OFF, False),
                 ("stem", {"taps_stem": True, "taps_pool": False}, False),
                 ("pool", {"taps_stem": False, "taps_pool": True}, False),
                 ("pcn ", OFF, True),
-                ("all ", {"taps_stem": True, "taps_pool": True}, True))
+                ("pc2 ", OFF, "enc2"),
+                ("all ", ON, True))
     for clf in ("resnet18", "vgg16", "inception_v3"):
         row = {}
         for label, kw, ptaps in variants:

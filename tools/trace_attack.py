@@ -75,7 +75,10 @@ def build_sweep(classifier_name: str, iters: int, model_kw=None,
                   "classifier_crop_sz": list(CP_SZ)}
     trained = TrainedModel(pcnet, params, jnp.asarray(mask), cam_scene,
                            setup_info, None, "PCNet")
-    pcnet_apply, pcnet_state = make_pcnet_fn(trained, taps_stem=pcnet_taps)
+    # pcnet_taps: None/True/False -> taps_stem; "enc2" -> stem + enc2
+    enc2 = pcnet_taps == "enc2"
+    pcnet_apply, pcnet_state = make_pcnet_fn(
+        trained, taps_stem=True if enc2 else pcnet_taps, taps_enc2=enc2)
     cdtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
     cparams = load_params(classifier_name, None, verbose=False)[0]
