@@ -143,11 +143,12 @@ class InceptionV3(nn.Module):
     num_classes: int = 1000
     transform_input: bool = True
     # Stem backward-data via the tap-GEMM rewrite (see
-    # layers.conv2d_taps_bwd); toggleable for A/B (tools/taps_ab.py).
-    taps_stem: bool = True
+    # layers.conv2d_taps_bwd). Default off; make_logits_fn turns the
+    # knobs on on the TPU backend.
+    taps_stem: bool = False
     # Max-pool backward via the argmax-routing rewrite (see
     # layers.max_pool_taps_bwd) instead of XLA SelectAndScatter.
-    taps_pool: bool = True
+    taps_pool: bool = False
 
     input_size = (299, 299)
 

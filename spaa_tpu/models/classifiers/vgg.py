@@ -22,12 +22,13 @@ _CFG_D = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
 class VGG16(nn.Module):
     num_classes: int = 1000
     # Stem (conv0, Cin=3) backward-data via the tap-GEMM rewrite (see
-    # layers.conv2d_taps_bwd); toggleable for A/B (tools/taps_ab.py).
-    taps_stem: bool = True
+    # layers.conv2d_taps_bwd). Default off; make_logits_fn turns the
+    # knobs on on the TPU backend.
+    taps_stem: bool = False
     # Max-pool backward via the argmax-routing rewrite (see
     # layers.max_pool_taps_bwd; bitwise for these non-overlapping 2x2/s2
     # pools) instead of XLA SelectAndScatter.
-    taps_pool: bool = True
+    taps_pool: bool = False
 
     input_size = (224, 224)
 

@@ -198,15 +198,17 @@ def test_max_pool_taps_bwd_exact():
 
 @pytest.mark.parametrize("name", ["resnet18", "vgg16", "inception_v3"])
 def test_classifier_taps_stem_toggle_parity(name):
-    """All taps rewrites on (default) vs all off on the real zoo modules:
-    same param tree and values, bitwise forward, matching input grad — so
-    the rewrites can never change converted-weight loading or logits."""
+    """All taps rewrites on (the make_logits_fn TPU default) vs all off on
+    the real zoo modules: same param tree and values, bitwise forward,
+    matching input grad — so the rewrites can never change
+    converted-weight loading or logits."""
     from spaa_tpu.models.classifiers import _MODELS
 
     cls, sz = _MODELS[name]
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.random((1, *sz, 3), np.float32))
-    m1, m0 = cls(), cls(taps_stem=False, taps_pool=False)
+    m1 = cls(taps_stem=True, taps_pool=True)
+    m0 = cls(taps_stem=False, taps_pool=False)
     p1 = m1.init(jax.random.PRNGKey(0), x)["params"]
     p0 = m0.init(jax.random.PRNGKey(0), x)["params"]
     assert jax.tree.structure(p0) == jax.tree.structure(p1)
