@@ -292,3 +292,54 @@ def test_make_pcnet_fn_taps_clone_parity():
         grads.append(np.asarray(g))
     np.testing.assert_array_equal(outs[0], outs[1])
     np.testing.assert_allclose(grads[1], grads[0], rtol=2e-4, atol=2e-4)
+
+
+def test_taps_machinery_fuzz():
+    """Randomized shapes/strides/paddings for both rewrites — guards the
+    phase-grouped overlap-add's generality beyond the hand-picked CASES."""
+    from flax import linen as nn
+    from spaa_tpu.models.layers import max_pool_taps_bwd
+
+    rng = np.random.default_rng(123)
+    for _ in range(8):
+        kh, kw = int(rng.integers(1, 6)), int(rng.integers(1, 6))
+        sh, sw = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        ph, pw = int(rng.integers(0, kh + 1)), int(rng.integers(0, kw + 1))
+        hh = int(rng.integers(max(kh - 2 * ph, 1), 24))
+        ww = int(rng.integers(max(kw - 2 * pw, 1), 24))
+        if hh + 2 * ph < kh or ww + 2 * pw < kw:
+            continue
+        ci, co = int(rng.integers(1, 6)), int(rng.integers(1, 6))
+        x = jnp.asarray(rng.standard_normal((2, hh, ww, ci)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((kh, kw, ci, co)) * 0.3,
+                        jnp.float32)
+        y0, v0 = jax.vjp(lambda a: conv2d_nhwc(a, w, None, (sh, sw),
+                                               (ph, pw)), x)
+        y1, v1 = jax.vjp(lambda a: conv2d_taps_bwd(a, w, (sh, sw),
+                                                   (ph, pw)), x)
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+        cot = jnp.asarray(rng.standard_normal(y0.shape), jnp.float32)
+        np.testing.assert_allclose(np.asarray(v1(cot)[0]),
+                                   np.asarray(v0(cot)[0]),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f"conv k={kh,kw} s={sh,sw} "
+                                           f"p={ph,pw} in={hh,ww}")
+
+    for _ in range(8):
+        kh, kw = int(rng.integers(1, 5)), int(rng.integers(1, 5))
+        sh, sw = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        hh = int(rng.integers(kh, 24))
+        ww = int(rng.integers(kw, 24))
+        c = int(rng.integers(1, 6))
+        x = jnp.asarray(
+            rng.integers(-3, 4, (2, hh, ww, c)).astype(np.float32))
+        y0, v0 = jax.vjp(lambda a: nn.max_pool(a, (kh, kw), (sh, sw),
+                                               padding="VALID"), x)
+        y1, v1 = jax.vjp(lambda a: max_pool_taps_bwd(a, (kh, kw),
+                                                     (sh, sw)), x)
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+        coti = jnp.asarray(rng.integers(-4, 5, y0.shape).astype(np.float32))
+        np.testing.assert_array_equal(np.asarray(v0(coti)[0]),
+                                      np.asarray(v1(coti)[0]),
+                                      err_msg=f"pool k={kh,kw} s={sh,sw} "
+                                              f"in={hh,ww}")
