@@ -9,9 +9,11 @@ cost more than the rewrite saves. So: time the PRODUCTION SPAA sweep
 program (the exact bench.py shape, trained ckpt + real scene/mask when
 /tmp/simbench is present) per classifier with taps_stem on vs off.
 
-Run on TPU:  python tools/taps_ab.py [iters]
-Decision rule: keep taps_stem=True defaults only if no classifier's
-sweep program regresses and at least one improves.
+Run on TPU:  python tools/taps_ab.py [iters] [quick]
+(`quick` = off/all variants only — the keep-or-revert decision in ~1/3
+the compiles; run the full 6-variant grid when the tunnel is stable.)
+Decision rule: keep taps defaults only if no classifier's sweep program
+regresses and at least one improves.
 """
 import os
 import sys
@@ -38,12 +40,15 @@ def main():
     # then everything on (the shipped defaults)
     OFF = {"taps_stem": False, "taps_pool": False}
     ON = {"taps_stem": True, "taps_pool": True}
-    variants = (("off ", OFF, False),
-                ("stem", {"taps_stem": True, "taps_pool": False}, False),
-                ("pool", {"taps_stem": False, "taps_pool": True}, False),
-                ("pcn ", OFF, True),
-                ("pc2 ", OFF, "enc2"),
-                ("all ", ON, True))
+    if "quick" in sys.argv[2:]:
+        variants = (("off ", OFF, False), ("all ", ON, True))
+    else:
+        variants = (("off ", OFF, False),
+                    ("stem", {"taps_stem": True, "taps_pool": False}, False),
+                    ("pool", {"taps_stem": False, "taps_pool": True}, False),
+                    ("pcn ", OFF, True),
+                    ("pc2 ", OFF, "enc2"),
+                    ("all ", ON, True))
     for clf in ("resnet18", "vgg16", "inception_v3"):
         row = {}
         for label, kw, ptaps in variants:
