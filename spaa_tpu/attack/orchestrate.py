@@ -231,9 +231,15 @@ def make_pcnet_fn(trained, use_pallas_warp: Optional[bool] = None,
       - the constant-grid warp runs through the Pallas two-stage-gather
         kernel (``ops.pallas.warp``) instead of XLA gather/scatter;
       - the shading CNN computes in bfloat16 (f32 in/out) — the MXU's
-        native dtype; attack gradients stay f32 outside;
-      - conv1/conv1_s backward-data via the tap-GEMM rewrite
-        (``taps_stem``; identical forward, see layers.conv2d_taps_bwd).
+        native dtype; attack gradients stay f32 outside.
+
+    ``taps_stem``/``taps_enc2`` (conv1/conv1_s resp. conv2/conv2_s
+    backward-data via the tap-GEMM rewrite, layers.conv2d_taps_bwd) are
+    opt-in on every backend: the in-context A/B on the production sweep
+    programs (tools/taps_ab.py, TPU, trained ckpt) measured the all-on
+    variant 11-24% SLOWER per classifier — XLA's layout/fusion around
+    the rewrites costs more than the recovered MXU lanes, same verdict
+    as the packed-encoder/subpix knobs (tools/incontext_ab.py).
     """
     on_tpu = jax.default_backend() == "tpu"
     if use_pallas_warp is None:
@@ -241,9 +247,9 @@ def make_pcnet_fn(trained, use_pallas_warp: Optional[bool] = None,
     if compute_dtype is None:
         compute_dtype = "bfloat16" if on_tpu else "float32"
     if taps_stem is None:
-        taps_stem = on_tpu
+        taps_stem = False   # measured in-context loss; see docstring
     if taps_enc2 is None:
-        taps_enc2 = False   # pending in-context measurement (taps_ab.py)
+        taps_enc2 = False
     cdtype = jnp.dtype(compute_dtype)
 
     model = trained.model

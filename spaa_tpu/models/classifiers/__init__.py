@@ -61,17 +61,21 @@ def make_logits_fn(model_name: str, **model_kw) -> Callable:
     """Returns ``logits_fn(params, im, crop_sz)``: the full differentiable
     classify pipeline on NHWC [0,1] images (ref ``classifier.py:55-60``).
     ``crop_sz`` must be static (python ints). ``model_kw`` forwards to the
-    Flax module (e.g. ``taps_stem=False`` for the A/B in tools/taps_ab.py).
+    Flax module (e.g. ``taps_stem=True`` for the A/B in tools/taps_ab.py).
 
-    On the TPU backend the lane-starved backward rewrites
-    (``taps_stem``/``taps_pool``, see ``spaa_tpu.models.layers``) default
-    on — identical forward, so forward-only pipelines (summarize classify)
-    compile to the same HLO either way; CPU keeps XLA's backward."""
+    The lane-starved backward rewrites (``taps_stem``/``taps_pool``, see
+    ``spaa_tpu.models.layers``) default OFF everywhere: structurally they
+    remove every SelectAndScatter and lane-starved backward-data conv
+    from the attack programs, but the in-context A/B on the production
+    sweep programs (tools/taps_ab.py, TPU, trained ckpt) measured the
+    all-on variant 11-24% slower per classifier — XLA's layout/fusion
+    around the rewrites costs more than the recovered lanes. Forward is
+    identical either way (forward-only pipelines compile to the same
+    HLO), so the knobs stay available for re-measurement."""
     from spaa_tpu.ops.image import center_crop, expand_4d, resize_area
     cls, input_sz = _MODELS[model_name]
-    on_tpu = jax.default_backend() == "tpu"
-    model_kw.setdefault("taps_stem", on_tpu)
-    model_kw.setdefault("taps_pool", on_tpu)
+    model_kw.setdefault("taps_stem", False)
+    model_kw.setdefault("taps_pool", False)
     model = cls(**model_kw)
 
     def logits_fn(params, im, crop_sz=(240, 240)):

@@ -343,3 +343,63 @@ def test_taps_machinery_fuzz():
                                       np.asarray(v1(coti)[0]),
                                       err_msg=f"pool k={kh,kw} s={sh,sw} "
                                               f"in={hh,ww}")
+
+
+def test_stem_module_mixed_dtype_promotes_like_nn_conv():
+    """Regression: the production bf16 attack path casts classifier params
+    to bf16 while normalize_imagenet's f32 constants promote the image back
+    to f32 (classifiers/__init__.py) — nn.Conv silently promotes both to
+    f32; ConvStemTapsBwd must do the same instead of raising a lax.conv
+    mixed-dtype TypeError (caught live by tools/taps_ab.py on TPU)."""
+    from flax import linen as nn
+    from spaa_tpu.models.layers import ConvStemTapsBwd
+
+    rng = np.random.default_rng(3)
+    x32 = jnp.asarray(rng.random((1, 32, 32, 3), np.float32))
+    new = ConvStemTapsBwd(8, (7, 7), (2, 2), (3, 3), name="conv1")
+    ref = nn.Conv(8, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
+                  use_bias=False, kernel_init=nn.initializers.he_normal(),
+                  name="conv1")
+    params = new.init(jax.random.PRNGKey(0), x32)["params"]
+    p_bf16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+
+    for xin in (x32, x32.astype(jnp.bfloat16)):
+        y_new, gx_new = jax.value_and_grad(
+            lambda a: jnp.sum(new.apply({"params": p_bf16}, a) ** 2))(xin)
+        y_ref, gx_ref = jax.value_and_grad(
+            lambda a: jnp.sum(ref.apply({"params": p_bf16}, a) ** 2))(xin)
+        np.testing.assert_allclose(np.asarray(y_new, np.float32),
+                                   np.asarray(y_ref, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+        scale = max(np.abs(np.asarray(gx_ref, np.float32)).max(), 1e-6)
+        np.testing.assert_allclose(np.asarray(gx_new, np.float32),
+                                   np.asarray(gx_ref, np.float32),
+                                   atol=0.05 * scale, rtol=0.1)
+
+
+def test_logits_fn_bf16_params_production_cast_pattern():
+    """End-to-end guard for the exact production mix (_run_spaa_sweep,
+    orchestrate.py): bf16-cast zoo params + a bf16-cast image through
+    make_logits_fn(taps on) must trace, and the grads must stay close to
+    the taps-off path on the same bf16 params."""
+    from spaa_tpu.models.classifiers import init_params, make_logits_fn
+
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                          init_params("resnet18", seed=0))
+    rng = np.random.default_rng(11)
+    im = jnp.asarray(rng.random((1, 48, 64, 3), np.float32))
+    outs = {}
+    for taps in (True, False):
+        lf = make_logits_fn("resnet18", taps_stem=taps, taps_pool=taps)
+
+        def loss(a):
+            return jnp.sum(
+                lf(params, a.astype(jnp.bfloat16), (40, 40)) ** 2
+            ).astype(jnp.float32)
+
+        outs[taps] = jax.value_and_grad(loss)(im)
+    y1, g1 = (np.asarray(t, np.float32) for t in outs[True])
+    y0, g0 = (np.asarray(t, np.float32) for t in outs[False])
+    np.testing.assert_allclose(y1, y0, rtol=2e-2, atol=2e-2)
+    scale = max(np.abs(g0).max(), 1e-6)
+    np.testing.assert_allclose(g1, g0, atol=0.05 * scale, rtol=0.1)
