@@ -145,9 +145,11 @@ def _build(log):
     cdtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
     runs = []
+    clf_sources = []
     for name in CLASSIFIERS:
         t0 = time.time()
-        cparams = load_params(name, None, verbose=False)[0]
+        cparams, csrc = load_params(name, None, verbose=False)
+        clf_sources.append(csrc)
         if cdtype != jnp.float32:
             cparams = jax.tree.map(
                 lambda x: x.astype(cdtype) if x.dtype == jnp.float32 else x,
@@ -186,7 +188,14 @@ def _build(log):
         np.asarray(jax.tree.leaves(out)[0].ravel()[0])  # real barrier (axon)
         log(f"[bench] {name}: compile+first-run {time.time() - t0:.1f}s")
         runs.append((fn, args))
-    return runs, pcnet_apply, pcnet_state, warp_source
+    # machine-readable provenance for every BENCH line (VERDICT r3 #7):
+    # 'converted' = all three zoo members loaded converted torchvision
+    # weights (npz/pth); 'random' = deterministic random init (the no-
+    # egress default — success-rate-style numbers carry this caveat).
+    srcs = set(clf_sources)
+    clf_weights_source = ("random" if srcs == {"random"} else
+                          "converted" if "random" not in srcs else "mixed")
+    return runs, pcnet_apply, pcnet_state, warp_source, clf_weights_source
 
 
 def _bench_infer_fps(pcnet_apply, pcnet_state, log, force):
@@ -404,7 +413,8 @@ def main() -> None:
     log(f"[bench] backend={jax.default_backend()} devices={jax.devices()}")
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        runs, pcnet_apply, pcnet_state, warp_source = _build(log)
+        (runs, pcnet_apply, pcnet_state, warp_source,
+         clf_weights_source) = _build(log)
 
     # timed: the FULL 12-config sweep across all 3 classifiers (the
     # production batched path); reported per (loss, d_thr) config to match
@@ -442,6 +452,7 @@ def main() -> None:
             **({"summarize_spaa_s_per_setup": round(summarize_s, 1)}
                if summarize_s is not None else {}),
             "warp_source": warp_source,
+            "clf_weights_source": clf_weights_source,
             "sweep_wallclock_s": round(best, 3),
         },
     }))

@@ -143,8 +143,9 @@ class InceptionV3(nn.Module):
     num_classes: int = 1000
     transform_input: bool = True
     # Stem backward-data via the tap-GEMM rewrite (see
-    # layers.conv2d_taps_bwd). Default off; make_logits_fn turns the
-    # knobs on on the TPU backend.
+    # layers.conv2d_taps_bwd). Default off everywhere (slower in-context;
+    # see the classifiers/__init__.py make_logits_fn docstring) — opt in
+    # via model_kw for A/Bs.
     taps_stem: bool = False
     # Max-pool backward via the argmax-routing rewrite (see
     # layers.max_pool_taps_bwd) instead of XLA SelectAndScatter.

@@ -68,8 +68,10 @@ class ResNet18(nn.Module):
     # the XLA backward of a Cin=3 conv is MXU-lane-starved (N=3, ~4.5 TF/s
     # measured in the SPAA attack program; see layers.conv2d_taps_bwd).
     # Identical forward; same param path/init as the nn.Conv it replaces
-    # (tests/test_taps_bwd.py). Default off (XLA's backward); the
-    # make_logits_fn factory turns both knobs on on the TPU backend.
+    # (tests/test_taps_bwd.py). Default off everywhere (in-context A/Bs
+    # measured the rewrites slower inside the full sweep programs; see
+    # the classifiers/__init__.py make_logits_fn docstring) — opt in via
+    # model_kw for A/Bs (tools/taps_ab.py).
     taps_stem: bool = False
     # Max-pool backward via the argmax-routing rewrite (see
     # layers.max_pool_taps_bwd) instead of XLA SelectAndScatter.

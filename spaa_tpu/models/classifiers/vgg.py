@@ -22,8 +22,9 @@ _CFG_D = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
 class VGG16(nn.Module):
     num_classes: int = 1000
     # Stem (conv0, Cin=3) backward-data via the tap-GEMM rewrite (see
-    # layers.conv2d_taps_bwd). Default off; make_logits_fn turns the
-    # knobs on on the TPU backend.
+    # layers.conv2d_taps_bwd). Default off everywhere (slower in-context;
+    # see the classifiers/__init__.py make_logits_fn docstring) — opt in
+    # via model_kw for A/Bs.
     taps_stem: bool = False
     # Max-pool backward via the argmax-routing rewrite (see
     # layers.max_pool_taps_bwd; bitwise for these non-overlapping 2x2/s2

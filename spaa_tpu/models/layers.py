@@ -255,18 +255,23 @@ class ConvStemTapsBwd(nn.Module):
         kh, kw = _pair(self.kernel_size)
         kernel = self.param("kernel", nn.initializers.he_normal(),
                             (kh, kw, x.shape[-1], self.features))
-        # nn.Conv promotes input+params to a common dtype (dtype=None);
-        # conv2d_taps_bwd calls lax.conv directly, which requires it.
-        # Matching the promotion keeps this a true drop-in: the production
-        # bf16 attack path carries bf16-cast params while normalize_imagenet
-        # re-promotes the image to f32 (classifiers/__init__.py), so without
-        # this the mixed-dtype conv is a TypeError.
-        ct = jnp.result_type(x.dtype, kernel.dtype)
-        y = conv2d_taps_bwd(x.astype(ct), kernel.astype(ct),
-                            _pair(self.strides), _pair(self.padding))
+        bias = None
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,))
+        # nn.Conv promotes input+params (incl. bias) to a common dtype
+        # (dtype=None); conv2d_taps_bwd calls lax.conv directly, which
+        # requires it. Matching the promotion keeps this a true drop-in:
+        # the production bf16 attack path carries bf16-cast params while
+        # normalize_imagenet re-promotes the image to f32
+        # (classifiers/__init__.py), so without this the mixed-dtype conv
+        # is a TypeError — and with f32 bias + bf16 x/kernel (VGG stem)
+        # nn.Conv computes in f32, so the bias must join the promotion.
+        dtypes = [x.dtype, kernel.dtype] + ([bias.dtype] if bias is not None else [])
+        ct = jnp.result_type(*dtypes)
+        y = conv2d_taps_bwd(x.astype(ct), kernel.astype(ct),
+                            _pair(self.strides), _pair(self.padding))
+        if bias is not None:
             y = y + bias.astype(y.dtype)
         return y
 

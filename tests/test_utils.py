@@ -221,3 +221,32 @@ def test_attack_results_standalone_montage():
                        cam_infer, cam_real, [prj[1], prj[0]], (20, 20))
     assert m.ndim == 3 and m.shape[2] == 3
     assert np.isfinite(m).all() and m.min() >= 0 and m.max() <= 1
+
+
+def test_seed_determinism_across_reseeds():
+    """reset_rng_seeds (ref utils.py:70-76) makes numpy/python/JAX draws
+    reproducible: reseeding with the same seed replays identical streams;
+    a different seed diverges."""
+    import random
+
+    import jax
+
+    from spaa_tpu.utils.seed import reset_rng_seeds, set_reproducibility
+
+    key_a = reset_rng_seeds(7)
+    np_a = np.random.random(5)
+    py_a = [random.random() for _ in range(5)]
+    jx_a = np.asarray(jax.random.uniform(key_a, (5,)))
+
+    key_b = reset_rng_seeds(7)
+    np.testing.assert_array_equal(np_a, np.random.random(5))
+    assert py_a == [random.random() for _ in range(5)]
+    np.testing.assert_array_equal(
+        jx_a, np.asarray(jax.random.uniform(key_b, (5,))))
+
+    key_c = reset_rng_seeds(8)
+    assert not np.array_equal(np_a, np.random.random(5))
+    assert not np.array_equal(
+        jx_a, np.asarray(jax.random.uniform(key_c, (5,))))
+
+    set_reproducibility(True)   # API-parity no-op must not raise

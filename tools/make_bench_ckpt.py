@@ -39,8 +39,10 @@ def main():
                               load_pretrained=True)  # reuse if present
     _, table, _ = train_eval_pcnet(cfg)
     print(table)
-    ckpts = [f for f in os.listdir(join(root, "checkpoint"))
-             if "_PCNet_" in f and f.endswith(".flax")]
+    ckpt_dir = join(root, "checkpoint")
+    ckpts = ([f for f in os.listdir(ckpt_dir)
+              if "_PCNet_" in f and f.endswith(".flax")]
+             if isdir(ckpt_dir) else [])
     assert ckpts, "no PCNet checkpoint written"
     print(f"checkpoint ready: {join(root, 'checkpoint', sorted(ckpts)[-1])}")
 
