@@ -109,3 +109,54 @@ def test_data_parallel_train_step_matches_single_device():
     for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_sh)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_sharded_attack_real_resnet18_matches_single_device():
+    """Sharded==single-device on a REAL zoo network (VERDICT r3 #3): the
+    linear-toy test above can't catch sharding bugs in BN eval stats,
+    max-pool, or the strided stem. ResNet18 with deterministic random
+    params in the converted layout; 32x32 input (the global-pool head
+    tolerates small sizes — exactly how the reference wraps classifiers in
+    DataParallel, ref ``classifier.py:38-39``)."""
+    from spaa_tpu.attack.spaa import SpaaConfig, spaa_attack_batched
+    from spaa_tpu.models.classifiers import init_params, normalize_imagenet
+    from spaa_tpu.models.classifiers.resnet import ResNet18
+    from spaa_tpu.ops.image import center_crop, resize_area
+
+    B, HP, H, W = 8, 16, 24, 32
+    rng = np.random.default_rng(1)
+    k_pc = jnp.asarray(rng.normal(0, 0.3, (3, 3)).astype(np.float32))
+    clf_params = init_params("resnet18", seed=0)
+    net = ResNet18()
+
+    def pcnet_apply(state, prj):
+        x = jax.image.resize(prj, (prj.shape[0], H, W, 3), "linear")
+        return jnp.clip(x @ state["k"] * 0.5 + 0.4, 0.0, 1.0)
+
+    def logits_fn(params, cam):
+        x = resize_area(center_crop(cam, (24, 24)), (32, 32))
+        return net.apply({"params": params}, normalize_imagenet(x))
+
+    cam_scene = jnp.asarray(rng.random((1, H, W, 3)).astype(np.float32))
+    prj0 = jnp.asarray(rng.random((B, HP, HP, 3)).astype(np.float32))
+    tgt = jnp.asarray(rng.integers(0, 1000, B).astype(np.int32))
+    targeted = jnp.asarray([True] * 4 + [False] * 4)
+    weights = jnp.tile(jnp.asarray([0.0, 1.0, 1.0]), (B, 1))
+    d_thr = jnp.full((B,), 2.0)
+    cfg = SpaaConfig(iters=2)
+
+    run = jax.jit(lambda *a: spaa_attack_batched(
+        pcnet_apply, logits_fn, *a, cfg=cfg))
+    cam_ref, prj_ref = run({"k": k_pc}, clf_params, cam_scene, prj0, tgt,
+                           targeted, weights, d_thr)
+
+    mesh = make_mesh(8)
+    args = shard_attack_inputs(mesh, {"k": k_pc}, clf_params, cam_scene,
+                               prj0, tgt, targeted, weights, d_thr)
+    with mesh:
+        cam_sh, prj_sh = run(*args)
+
+    np.testing.assert_allclose(np.asarray(cam_ref), np.asarray(cam_sh),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(prj_ref), np.asarray(prj_sh),
+                               rtol=1e-5, atol=1e-6)
