@@ -18,6 +18,7 @@ Key re-designs vs the reference's per-iteration Python loop:
 
 from __future__ import annotations
 
+import functools
 import math
 import random
 import time
@@ -156,6 +157,58 @@ def sample_batch_indices(num_train: int, batch_size: int, max_iters: int,
         np.int32)
 
 
+@functools.lru_cache(maxsize=16)
+def _compiled_train_programs(apply_loss_fn: Callable, tx):
+    """The two jitted training programs (scan segment + single step) for a
+    (loss_fn, optimizer) pair, memoized by object identity.
+
+    ``train_model_scan`` used to build these as fresh closures per call, so
+    a second call with the SAME loss/optimizer (e.g. bench.py's compile
+    warm-up before its timed e2e run, or repeated training on one setup)
+    re-traced and re-compiled identical programs. Memoizing the jitted
+    callables makes any repeat call hit jax's in-process executable cache
+    directly — independent of whether the persistent on-disk cache works
+    on the backend. (optax GradientTransformations are NamedTuples of
+    functions — hashable by identity, like ``apply_loss_fn``.)"""
+    grad_fn = jax.value_and_grad(apply_loss_fn, has_aux=True)
+
+    # train tensors are jit ARGUMENTS (not closures) — closure-captured
+    # device arrays would be embedded as program constants (slow trace,
+    # bloated executable, re-shipped per dispatch on networked backends)
+    def step(inputs, targets, carry, idx_and_iter):
+        params, opt_state = carry
+        idx, itr = idx_and_iter
+        x = jnp.take(inputs, idx, axis=0)
+        y = jnp.take(targets, idx, axis=0)
+        # uint8 wire format (lossless for PNG-sourced data: k/255 is the
+        # same f32 everywhere): 4x less host→device upload AND a 4x
+        # smaller HBM-resident train set; the cast runs on-device on the
+        # gathered minibatch only
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 255.0
+        if y.dtype == jnp.uint8:
+            y = y.astype(jnp.float32) / 255.0
+        (loss, l2), grads = grad_fn(params, x, y, itr)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), (loss, l2)
+
+    @jax.jit
+    def run_segment(params, opt_state, inputs, targets, idx_seg, iter_seg):
+        (params, opt_state), (losses, l2s) = jax.lax.scan(
+            partial(step, inputs, targets), (params, opt_state),
+            (idx_seg, iter_seg))
+        return params, opt_state, losses, l2s
+
+    @jax.jit
+    def run_step(params, opt_state, inputs, targets, idx, itr):
+        (params, opt_state), (loss, l2) = step(inputs, targets,
+                                               (params, opt_state), (idx, itr))
+        return params, opt_state, loss, l2
+
+    return run_segment, run_step
+
+
 def train_model_scan(apply_loss_fn: Callable, params, tx, train_arrays: dict,
                      batch_idx: np.ndarray, cfg,
                      valid_fn: Optional[Callable] = None,
@@ -229,41 +282,7 @@ def train_model_scan(apply_loss_fn: Callable, params, tx, train_arrays: dict,
     if use_scan is None:
         use_scan = jax.default_backend() != "cpu"
 
-    grad_fn = jax.value_and_grad(apply_loss_fn, has_aux=True)
-
-    # train tensors are jit ARGUMENTS (not closures) — closure-captured
-    # device arrays would be embedded as program constants (slow trace,
-    # bloated executable, re-shipped per dispatch on networked backends)
-    def step(inputs, targets, carry, idx_and_iter):
-        params, opt_state = carry
-        idx, itr = idx_and_iter
-        x = jnp.take(inputs, idx, axis=0)
-        y = jnp.take(targets, idx, axis=0)
-        # uint8 wire format (lossless for PNG-sourced data: k/255 is the
-        # same f32 everywhere): 4x less host→device upload AND a 4x
-        # smaller HBM-resident train set; the cast runs on-device on the
-        # gathered minibatch only
-        if x.dtype == jnp.uint8:
-            x = x.astype(jnp.float32) / 255.0
-        if y.dtype == jnp.uint8:
-            y = y.astype(jnp.float32) / 255.0
-        (loss, l2), grads = grad_fn(params, x, y, itr)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), (loss, l2)
-
-    @jax.jit
-    def run_segment(params, opt_state, inputs, targets, idx_seg, iter_seg):
-        (params, opt_state), (losses, l2s) = jax.lax.scan(
-            partial(step, inputs, targets), (params, opt_state),
-            (idx_seg, iter_seg))
-        return params, opt_state, losses, l2s
-
-    @jax.jit
-    def run_step(params, opt_state, inputs, targets, idx, itr):
-        (params, opt_state), (loss, l2) = step(inputs, targets,
-                                               (params, opt_state), (idx, itr))
-        return params, opt_state, loss, l2
+    run_segment, run_step = _compiled_train_programs(apply_loss_fn, tx)
 
     max_iters = int(cfg.max_iters)
     seg = int(cfg.valid_rate)
