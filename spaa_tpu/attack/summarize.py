@@ -67,10 +67,15 @@ def _panels_all_device(cam_scene, ci_all, cr_all, cp_sz, prj_hw):
     area-resize of every infer/real capture, returned as uint8 (the
     truncation matches ``save_imgs``'s quantization exactly, so the final
     montage PNG bytes for the scene/infer/real panels are identical to the
-    float path). The 5th (normalized-difference pseudocolor) panel's input
-    is returned separately as a FLOAT map computed from the float-resized
-    panels — deriving it from the quantized uint8 panels would add 1/255
-    quantization noise to the difference."""
+    float path). The 5th (normalized-difference pseudocolor) panel is
+    computed from the FLOAT resized panels (deriving it from the quantized
+    uint8 panels would add 1/255 quantization noise to the difference) and
+    returned as ``to_pseudocolor``'s uint8 LUT INDEX — the normalize +
+    ``uint8(norm*255)`` quantization runs on device, so the host applies
+    only the colormap LUT and the wire carries 1 byte/px instead of 4.
+    Same fp-rounding tolerance as the old float-map wire format (XLA's
+    fusion can differ from numpy by 1 ulp → ≤1 LUT bin at a bin boundary;
+    regression-tested in tests/test_summarize.py)."""
     ci = _as_float01(ci_all)
     cr = _as_float01(cr_all)
     scene_rz = resize_area(center_crop(cam_scene, cp_sz), prj_hw)[0]
@@ -81,11 +86,15 @@ def _panels_all_device(cam_scene, ci_all, cr_all, cp_sz, prj_hw):
     # transform of this map and to_pseudocolor re-normalizes, so rendering
     # from this map matches the float path up to fp rounding
     diff_map = jnp.mean(jnp.abs(real_rz - scene_rz[None]), axis=-1)
+    mn = jnp.min(diff_map, axis=(1, 2), keepdims=True)
+    mx = jnp.max(diff_map, axis=(1, 2), keepdims=True)
+    norm = (diff_map - mn) / jnp.maximum(mx - mn, 1e-12)
+    diff_idx = jnp.floor(norm * 255.0).astype(jnp.uint8)
 
     def to_u8(x):
         return (jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
-    return to_u8(scene_rz), to_u8(infer_rz), to_u8(real_rz), diff_map
+    return to_u8(scene_rz), to_u8(infer_rz), to_u8(real_rz), diff_idx
 
 
 @functools.partial(jax.jit, static_argnums=(5, 6))
@@ -155,8 +164,9 @@ def attack_results(ret, t, imgnet_labels, im_gray, prj_adv, cam_scene,
     infer_rz = infer_all[t]
 
     if diff_maps is not None:
-        # float diff map precomputed on device from the float panels
-        # (to_pseudocolor normalizes internally)
+        # diff map precomputed on device from the float panels: either the
+        # quantized uint8 LUT index (summarize's wire format) or a float
+        # map (to_pseudocolor normalizes/quantizes whichever it gets)
         diff_color = to_pseudocolor(diff_maps[t])
     else:
         diff = np.abs(real_rz - scene_rz)
@@ -388,10 +398,18 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
                                          attacker_cfg_str))
             continue
         pa_all = jnp.asarray(np.concatenate([c["prj_adv"] for c in cells]))
-        ci_all = jnp.asarray(np.concatenate([c["cam_infer"] for c in cells]))
-        cr_all = jnp.asarray(np.concatenate([c["cam_real"] for c in cells]))
+        # camera stacks: EVERY downstream consumer (classify pipeline,
+        # stealth metrics, montage panels) center-crops to cp_sz first —
+        # crop on the HOST and ship only the crop (25% less wire at the
+        # benchmark 240x320→240x240 shapes; the downstream center_crop
+        # calls become identity slices on the already-cropped stacks)
+        ci_all = jnp.asarray(np.ascontiguousarray(center_crop(
+            np.concatenate([c["cam_infer"] for c in cells]), cp_sz)))
+        cr_all = jnp.asarray(np.ascontiguousarray(center_crop(
+            np.concatenate([c["cam_real"] for c in cells]), cp_sz)))
         cam_scene_u8 = np.uint8(np.round(np.asarray(cam_scene) * 255.0))
-        scene_dev = jnp.asarray(cam_scene_u8)
+        scene_dev = jnp.asarray(
+            np.ascontiguousarray(center_crop(cam_scene_u8, cp_sz)))
 
         phase_t["stage"] = _time.time() - _t0
         _t0 = _time.time()

@@ -269,11 +269,26 @@ def expand_border(im_hwc: np.ndarray, border=(0, 20, 0, 0),
 
 def to_pseudocolor(x: np.ndarray, colormap=cv.COLORMAP_JET) -> np.ndarray:
     """Normalize + colormap an HxW array → HWC float RGB
-    (ref ``img_proc.py:200-207`` / ``projector_based_attack.py:381``)."""
+    (ref ``img_proc.py:200-207`` / ``projector_based_attack.py:381``).
+    A uint8 input is treated as an already-quantized LUT index (the
+    normalize+quantize step can run on-device — see
+    ``summarize._panels_all_device`` — shipping 1 byte/px over the wire
+    instead of the 4-byte float map)."""
     x = np.squeeze(np.asarray(x))
-    x = (x - x.min()) / max(x.max() - x.min(), 1e-12)
-    cm = cv.applyColorMap(np.uint8(x * 255), colormap)
+    if x.dtype != np.uint8:
+        x = (x - x.min()) / max(x.max() - x.min(), 1e-12)
+        x = np.uint8(x * 255)
+    cm = cv.applyColorMap(x, colormap)
     return cv.cvtColor(cm, cv.COLOR_BGR2RGB).astype(np.float32) / 255.0
+
+
+def pseudocolor_index_u8(cm: np.ndarray) -> np.ndarray:
+    """The host half of :func:`to_pseudocolor`'s quantization, for tests:
+    ``np.uint8(norm * 255)`` per image over the trailing HxW axes."""
+    cm = np.asarray(cm, np.float32)
+    mn = cm.min(axis=(-2, -1), keepdims=True)
+    mx = cm.max(axis=(-2, -1), keepdims=True)
+    return np.uint8((cm - mn) / np.maximum(mx - mn, 1e-12) * 255)
 
 
 def montage(im_in: np.ndarray, grid_shape=None, padding_width: int = 5,
