@@ -300,17 +300,32 @@ def pack_block_diag(w_a, b_a, w_b, b_b):
     return w, b
 
 
-def packed_encoder_forward(net, x, s):
+def packed_which(flag) -> tuple:
+    """Normalize a ``packed_encoder`` knob value to the pair indices to
+    pack: True → both pairs, 'enc1'/'enc2' → only that pair (the
+    finer-grained A/B VERDICT r3 #6 asks for — conv2/conv2_s is the single
+    biggest lane-starved layer, and packing only it avoids the conv1-pair
+    layout churn the all-on variant pays), False/None → none."""
+    if flag is True:
+        return (1, 2)
+    if flag in ("enc1", "enc2"):
+        return (int(flag[-1]),)
+    return ()
+
+
+def packed_encoder_forward(net, x, s, which=(1, 2)):
     """The shared CompenNet/ShadingNetSPAA two-branch encoder with the
-    (conv1, conv1_s) and (conv2, conv2_s) pairs folded into single
-    block-diagonal convs (``pack_block_diag`` — value-preserving, both
-    branches computed in one MXU pass). ``net`` provides conv1/conv2 (and
-    the ``_s`` twins) as ``Conv2dTorchE`` plus conv3/conv4 pairs and
+    (conv1, conv1_s) and/or (conv2, conv2_s) pairs (``which``) folded into
+    single block-diagonal convs (``pack_block_diag`` — value-preserving,
+    both branches computed in one MXU pass). ``net`` provides conv1/conv2
+    (and the ``_s`` twins) as ``Conv2dTorchE`` plus conv3/conv4 pairs and
     skip2/skip3; ``x``/``s`` are the main and surface inputs,
     broadcast-compatible on the batch axis. Returns ``(h, res2, res3)`` —
     the encoder output and the two skip taps, exactly as the unpacked
     path computes them."""
-    for a, b in ((net.conv1, net.conv1_s), (net.conv2, net.conv2_s)):
+    pairs = ((net.conv1, net.conv1_s), (net.conv2, net.conv2_s))
+    for k in which:
+        a, b = pairs[k - 1]
         if (_pair(a.strides), _pair(a.padding)) != \
                 (_pair(b.strides), _pair(b.padding)):
             raise ValueError("packed encoder requires matching stride/"
@@ -318,21 +333,29 @@ def packed_encoder_forward(net, x, s):
     bsz = max(x.shape[0], s.shape[0])
     x = jnp.broadcast_to(x, (bsz,) + x.shape[1:])
     s = jnp.broadcast_to(s, (bsz,) + s.shape[1:])
-    co1 = net.conv1.features
-    w1, b1 = pack_block_diag(net.conv1.kernel, net.conv1.bias,
-                             net.conv1_s.kernel, net.conv1_s.bias)
-    y = conv2d_nhwc(jnp.concatenate([x, s], -1), w1, b1,
-                    _pair(net.conv1.strides), _pair(net.conv1.padding))
-    r1 = nn.relu(y[..., co1:])
-    h = nn.relu(y[..., :co1] + r1)
+    if 1 in which:
+        co1 = net.conv1.features
+        w1, b1 = pack_block_diag(net.conv1.kernel, net.conv1.bias,
+                                 net.conv1_s.kernel, net.conv1_s.bias)
+        y = conv2d_nhwc(jnp.concatenate([x, s], -1), w1, b1,
+                        _pair(net.conv1.strides), _pair(net.conv1.padding))
+        r1 = nn.relu(y[..., co1:])
+        h = nn.relu(y[..., :co1] + r1)
+    else:
+        r1 = nn.relu(net.conv1_s(s))
+        h = nn.relu(net.conv1(x) + r1)
     res2 = net.skip2(h)
-    co2 = net.conv2.features
-    w2, b2 = pack_block_diag(net.conv2.kernel, net.conv2.bias,
-                             net.conv2_s.kernel, net.conv2_s.bias)
-    y = conv2d_nhwc(jnp.concatenate([h, r1], -1), w2, b2,
-                    _pair(net.conv2.strides), _pair(net.conv2.padding))
-    r2 = nn.relu(y[..., co2:])
-    h = nn.relu(y[..., :co2] + r2)
+    if 2 in which:
+        co2 = net.conv2.features
+        w2, b2 = pack_block_diag(net.conv2.kernel, net.conv2.bias,
+                                 net.conv2_s.kernel, net.conv2_s.bias)
+        y = conv2d_nhwc(jnp.concatenate([h, r1], -1), w2, b2,
+                        _pair(net.conv2.strides), _pair(net.conv2.padding))
+        r2 = nn.relu(y[..., co2:])
+        h = nn.relu(y[..., :co2] + r2)
+    else:
+        r2 = nn.relu(net.conv2_s(r1))
+        h = nn.relu(net.conv2(h) + r2)
     res3 = net.skip3(h)
     r3 = nn.relu(net.conv3_s(r2))
     h = nn.relu(net.conv3(h) + r3)

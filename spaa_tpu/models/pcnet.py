@@ -43,7 +43,7 @@ class PCNet(nn.Module):
     # preserving rewrites; OFF by default — in-context TPU measurement
     # shows whole-program regressions despite isolated layer wins, see
     # tools/incontext_ab.py)
-    packed_encoder: bool = False
+    packed_encoder: bool | str = False   # True / 'enc1' / 'enc2'
     subpix_tconv: bool | None = None
     # taps_stem/taps_enc2: conv1/conv1_s (resp. conv2/conv2_s)
     # backward-data via the tap-GEMM rewrite (see ShadingNetSPAA).

@@ -42,8 +42,10 @@ class ShadingNetSPAA(nn.Module):
     # ~2x faster on those layers IN ISOLATION — but OFF by default: inside
     # the full PCNet fwd+grad programs the packing makes the whole program
     # 6% (attack) / 6% (train) SLOWER (tools/incontext_ab.py; fusion/layout
-    # interactions dominate the lane-utilization gain).
-    packed_encoder: bool = False
+    # interactions dominate the lane-utilization gain). Also accepts
+    # 'enc1'/'enc2' to pack only that pair (layers.packed_which) — the
+    # single-layer A/B of VERDICT r3 #6.
+    packed_encoder: bool | str = False
     # Subpixel form of transConv2 — same story: 3.4-5x alone, 3-16% whole-
     # program regression; see layers.ConvTranspose2dTorch.subpix.
     subpix_tconv: bool | None = None
@@ -140,7 +142,9 @@ class ShadingNetSPAA(nn.Module):
             s = jnp.concatenate(
                 [jnp.broadcast_to(t, (b,) + t.shape[1:]) for t in surfaces],
                 axis=-1)
-            h, res2, res3 = packed_encoder_forward(self, x, s)
+            from spaa_tpu.models.layers import packed_which
+            h, res2, res3 = packed_encoder_forward(
+                self, x, s, which=packed_which(self.packed_encoder))
         else:
             sf = (self.surface_features(*surfaces)
                   if surface_feats is None else surface_feats)

@@ -142,6 +142,11 @@ def test_packed_encoder_matches_unpacked(rng):
 
     for net_p, net_u, args in [
         (ShadingNetSPAA(packed_encoder=True), ShadingNetSPAA(), (x, s, rough)),
+        # single-pair variants (layers.packed_which; VERDICT r3 #6 A/B)
+        (ShadingNetSPAA(packed_encoder="enc2"), ShadingNetSPAA(),
+         (x, s, rough)),
+        (ShadingNetSPAA(packed_encoder="enc1"), ShadingNetSPAA(),
+         (x, s, rough)),
         (CompenNet(packed_encoder=True), CompenNet(), (x, s)),
     ]:
         params = net_p.init(jax.random.PRNGKey(1), *args)["params"]

@@ -73,6 +73,13 @@ def main():
         ("packed=F subpix=F", dict(packed_encoder=False, subpix_tconv=False)),
         ("packed=T subpix=F", dict(packed_encoder=True, subpix_tconv=False)),
         ("packed=F subpix=T", dict(packed_encoder=False, subpix_tconv=True)),
+        # single-pair packing (VERDICT r3 #6): conv2/conv2_s is the
+        # biggest lane-starved layer — does packing ONLY it (skipping the
+        # conv1-pair layout churn) beat the all-off baseline?
+        ("packed=enc2 subpix=F",
+         dict(packed_encoder="enc2", subpix_tconv=False)),
+        ("packed=enc1 subpix=F",
+         dict(packed_encoder="enc1", subpix_tconv=False)),
     ]
 
     # ---------------- attack shape ----------------
