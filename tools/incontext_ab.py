@@ -68,6 +68,13 @@ def main():
     #   train :  T/T 57.06  F/F 52.52  T/F 55.59  F/T 53.97  ms/step
     # -> both rewrites are whole-program REGRESSIONS despite their 2-5x
     #    isolated-layer wins; defaults are therefore OFF.
+    # Re-measured 2026-08-19 with the single-pair variants (VERDICT r3 #6;
+    # first four combos reproduced within 0.3%):
+    #   attack:  off 68.69  enc2 70.10 (+2.1%)  enc1 71.16 (+3.6%)
+    #   train :  off 52.23  enc2 51.65 (-1.1%)  enc1 55.90
+    # -> even the conv2-pair-only packing loses in-context on the attack
+    #    program; the 1.1% train win is inside run noise and not worth a
+    #    divergent default. CLOSED NEGATIVE: all packing defaults stay OFF.
     combos = [
         ("packed=T subpix=T", dict(packed_encoder=True, subpix_tconv=True)),
         ("packed=F subpix=F", dict(packed_encoder=False, subpix_tconv=False)),
