@@ -35,6 +35,7 @@ from __future__ import annotations
 import contextlib
 import io
 import json
+import os
 import sys
 import time
 
@@ -183,10 +184,14 @@ def _build(log):
                                          SpaaConfig(camde_range=camde_range)))
         args = (pcnet_state, cparams, prj_init, target_idx, targeted,
                 weights, d_thr)
-        t0 = time.time()
-        out = fn(*args)
-        np.asarray(jax.tree.leaves(out)[0].ravel()[0])  # real barrier (axon)
-        log(f"[bench] {name}: compile+first-run {time.time() - t0:.1f}s")
+        if not os.environ.get("SPAA_BENCH_TRACE_ONLY"):
+            # SPAA_BENCH_TRACE_ONLY=1 skips compile+first-run so
+            # diagnostics can fn.lower(*args) the exact bench programs
+            # without paying 3 full sweep compiles (cache-key forensics)
+            t0 = time.time()
+            out = fn(*args)
+            np.asarray(jax.tree.leaves(out)[0].ravel()[0])  # real barrier
+            log(f"[bench] {name}: compile+first-run {time.time() - t0:.1f}s")
         runs.append((fn, args))
     # machine-readable provenance for every BENCH line (VERDICT r3 #7):
     # 'converted' = all three zoo members loaded converted torchvision
