@@ -38,7 +38,7 @@ def _as_float01(x):
 
 from spaa_tpu.train.data import load_setup_info
 from spaa_tpu.utils.imgproc_host import (insert_texts, make_grid,
-                                         to_pseudocolor)
+                                         resize_area_np, to_pseudocolor)
 from spaa_tpu.utils.io import imread, imread_dir, save_imgs
 from spaa_tpu.utils.xlsx import to_excel
 
@@ -59,42 +59,6 @@ def _stealth_metrics_jit(pa, gray, ci, cr, cs_b):
     return (per_sample_img_dists(pa, gray)
             + per_sample_img_dists(ci, cs_b)
             + per_sample_img_dists(cr, cs_b))
-
-
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def _panels_all_device(cam_scene, ci_all, cr_all, cp_sz, prj_hw):
-    """Montage image panels for ALL cells in one dispatch: center-crop +
-    area-resize of every infer/real capture, returned as uint8 (the
-    truncation matches ``save_imgs``'s quantization exactly, so the final
-    montage PNG bytes for the scene/infer/real panels are identical to the
-    float path). The 5th (normalized-difference pseudocolor) panel is
-    computed from the FLOAT resized panels (deriving it from the quantized
-    uint8 panels would add 1/255 quantization noise to the difference) and
-    returned as ``to_pseudocolor``'s uint8 LUT INDEX — the normalize +
-    ``uint8(norm*255)`` quantization runs on device, so the host applies
-    only the colormap LUT and the wire carries 1 byte/px instead of 4.
-    Same fp-rounding tolerance as the old float-map wire format (XLA's
-    fusion can differ from numpy by 1 ulp → ≤1 LUT bin at a bin boundary;
-    regression-tested in tests/test_summarize.py)."""
-    ci = _as_float01(ci_all)
-    cr = _as_float01(cr_all)
-    scene_rz = resize_area(center_crop(cam_scene, cp_sz), prj_hw)[0]
-    infer_rz = resize_area(center_crop(ci, cp_sz), prj_hw)
-    real_rz = resize_area(center_crop(cr, cp_sz), prj_hw)
-    # mean-channel |real - scene| per sample; attack_results' float path
-    # (normalize, mean over channels, to_pseudocolor) reduces to an affine
-    # transform of this map and to_pseudocolor re-normalizes, so rendering
-    # from this map matches the float path up to fp rounding
-    diff_map = jnp.mean(jnp.abs(real_rz - scene_rz[None]), axis=-1)
-    mn = jnp.min(diff_map, axis=(1, 2), keepdims=True)
-    mx = jnp.max(diff_map, axis=(1, 2), keepdims=True)
-    norm = (diff_map - mn) / jnp.maximum(mx - mn, 1e-12)
-    diff_idx = jnp.floor(norm * 255.0).astype(jnp.uint8)
-
-    def to_u8(x):
-        return (jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
-
-    return to_u8(scene_rz), to_u8(infer_rz), to_u8(real_rz), diff_idx
 
 
 @functools.partial(jax.jit, static_argnums=(5, 6))
@@ -286,6 +250,15 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
     # each setup's ret/<cfg>/stats.txt must contain exactly its own rows —
     # accumulating across setups would double-count them when
     # summarize_all_attackers concatenates the per-setup stats files.
+    #
+    # The montage render pool is shared ACROSS setups: montages are pure
+    # host work (resize, annotate, PNG encode) with no effect on the stats
+    # tables, so setup k's renders drain while setup k+1's device phases
+    # (classify, metrics) run — the per-setup montage tail is only paid
+    # once, at the very end.
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=min(8, max(os.cpu_count() or 1, 2)))
+    futures = []
     setup_tables = []
     for setup_name in setup_list:
         table = pd.DataFrame(columns=columns)
@@ -301,8 +274,7 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
 
         import time as _time
         phase_t = {"valid": 0.0, "io": 0.0, "stage": 0.0, "classify": 0.0,
-                   "metrics": 0.0, "panels": 0.0, "rows": 0.0,
-                   "montage_wait": 0.0}
+                   "metrics": 0.0, "panels": 0.0, "rows": 0.0}
         _t0 = _time.time()
         # validation block (ref :463-473). Images travel as uint8 and are
         # center-cropped on the HOST before upload: the f32 uncropped path
@@ -403,10 +375,12 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
         # crop on the HOST and ship only the crop (25% less wire at the
         # benchmark 240x320→240x240 shapes; the downstream center_crop
         # calls become identity slices on the already-cropped stacks)
-        ci_all = jnp.asarray(np.ascontiguousarray(center_crop(
-            np.concatenate([c["cam_infer"] for c in cells]), cp_sz)))
-        cr_all = jnp.asarray(np.ascontiguousarray(center_crop(
-            np.concatenate([c["cam_real"] for c in cells]), cp_sz)))
+        ci_host = np.ascontiguousarray(center_crop(
+            np.concatenate([c["cam_infer"] for c in cells]), cp_sz))
+        cr_host = np.ascontiguousarray(center_crop(
+            np.concatenate([c["cam_real"] for c in cells]), cp_sz))
+        ci_all = jnp.asarray(ci_host)
+        cr_all = jnp.asarray(cr_host)
         cam_scene_u8 = np.uint8(np.round(np.asarray(cam_scene) * 255.0))
         scene_dev = jnp.asarray(
             np.ascontiguousarray(center_crop(cam_scene_u8, cp_sz)))
@@ -456,10 +430,14 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
 
         phase_t["metrics"] = _time.time() - _t0
         _t0 = _time.time()
-        # ---- pass 2.6: ALL cells' montage panels, ONE dispatch ----
-        # (panels feed ONLY the montages: skipped entirely when
-        # recreate_imgs=False and every cell's montages already exist —
-        # the panel pull is ~260 MB/setup on the benchmark shapes)
+        # ---- pass 2.6: montage panels are pure HOST work ----
+        # The camera stacks originate on the host (PNG reads), so the
+        # area-resize runs there too (resize_area_np — numpy twin of the
+        # device resize, BLAS-backed) inside the render pool below. The
+        # round-4 device variant (_panels_all_device) resized on-device
+        # and pulled ~190 MB of panels back per benchmark setup — an
+        # 8 s/setup serial phase that existed only to use the device for
+        # a resize of data already sitting in host RAM.
         prj_hw = (int(setup_info["prj_im_sz"][1]),
                   int(setup_info["prj_im_sz"][0]))
 
@@ -472,18 +450,15 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
         need_montage = [recreate_imgs or not _montages_exist(c)
                         for c in cells]
         if any(need_montage):
-            scene_rz, infer_rz_all, real_rz_all, diff_map_all = (
-                np.asarray(o) for o in _panels_all_device(
-                    jnp.asarray(cam_scene), ci_all, cr_all, cp_sz, prj_hw))
+            scene_rz = resize_area_np(
+                center_crop(np.asarray(cam_scene, np.float32), cp_sz),
+                prj_hw)[0]
 
         phase_t["panels"] = _time.time() - _t0
         _t0 = _time.time()
         # ---- pass 3: stats rows; montage assembly/writes (pure host
-        # numpy/PIL) run in a thread pool off the critical path ----
-        from concurrent.futures import ThreadPoolExecutor
-        pool = ThreadPoolExecutor(
-            max_workers=min(8, max(os.cpu_count() or 1, 2)))
-        futures = []
+        # numpy/PIL) run in the cross-setup thread pool, off the
+        # critical path ----
         for k, c in enumerate(cells):
             ret = c["ret"]
             sl_cell = slice(k * m, (k + 1) * m)
@@ -491,29 +466,37 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
             prj_vals, infer_vals, real_vals = (cell_vals[0:5],
                                                cell_vals[5:10],
                                                cell_vals[10:15])
-            # montage panels for this cell: image slices + the L2 columns
-            # (same definition as the stealth L2 primitive)
-            # panels stay uint8 end-to-end (attack_results as_uint8):
-            # the per-montage float round-trips were the PNG-write hotspot
-            panels = None
+            # montage panels for this cell: host resize of the cropped
+            # stacks + the L2 columns (same definition as the stealth L2
+            # primitive). Everything — resize, quantization, annotation,
+            # PNG write — runs in the pool, overlapped with the device
+            # phases of the stats rows.
             if need_montage[k]:
-                panels = (scene_rz, infer_rz_all[sl_cell],
-                          real_rz_all[sl_cell],
-                          prj_vals[2], infer_vals[2], real_vals[2],
-                          diff_map_all[sl_cell])
-
-            if need_montage[k]:
-                def render(ret=ret, prj_adv=c["prj_adv"], panels=panels,
-                           folder=c["folder"]):
+                # bind EVERY per-setup value as a default arg: renders
+                # outlive the setup-loop iteration that created them
+                # (cross-setup pool), so free variables would late-bind
+                # to the NEXT setup's scene/crop/paths
+                def render(ret=ret, prj_adv=c["prj_adv"],
+                           ci=ci_host[sl_cell], cr=cr_host[sl_cell],
+                           l2s=(prj_vals[2], infer_vals[2], real_vals[2]),
+                           folder=c["folder"], scene_rz=scene_rz,
+                           prj_hw=prj_hw, im_gray=im_gray,
+                           cam_scene=cam_scene, cp_sz=cp_sz, m=m,
+                           prj_im_sz=tuple(setup_info["prj_im_sz"]),
+                           out_dir=join(setup_path, "ret")):
+                    def f01(x):
+                        return (x.astype(np.float32) / 255.0
+                                if x.dtype == np.uint8 else x)
+                    infer_rz = resize_area_np(f01(ci), prj_hw)
+                    real_rz = resize_area_np(f01(cr), prj_hw)
+                    panels = (scene_rz, infer_rz, real_rz, *l2s)
                     montage = [attack_results(ret, t, imagenet_labels,
                                               im_gray, prj_adv, cam_scene,
-                                              None, None,
-                                              setup_info["prj_im_sz"],
+                                              None, None, prj_im_sz,
                                               cp_sz, panels=panels,
                                               as_uint8=True)
                                for t in range(m)]
-                    save_imgs(np.stack(montage, 0),
-                              join(setup_path, "ret", folder))
+                    save_imgs(np.stack(montage, 0), join(out_dir, folder))
 
                 futures.append(pool.submit(render))
 
@@ -546,13 +529,9 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
                 *stealth_block(slice(0, n + 1)),    # all
             ]
         phase_t["rows"] = _time.time() - _t0
-        _t0 = _time.time()
-        for f in futures:
-            f.result()
-        pool.shutdown()
-        phase_t["montage_wait"] = _time.time() - _t0
         print("[summarize] " + " ".join(f"{k}={v:.1f}s"
-                                        for k, v in phase_t.items()))
+                                        for k, v in phase_t.items())
+              + f" (montages pending: {sum(not f.done() for f in futures)})")
 
         print(f"\n---- [{attacker_name}] results on [{setup_name}] ----")
         print(table.to_string(index=False, float_format="%.4f"))
@@ -560,6 +539,14 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
         ret_path = join(setup_path, "ret", attacker_cfg_str)
         _write_stats_txt(table, ret_path)
         to_excel(table, join(ret_path, "stats.xlsx"), index=False)
+    # drain the cross-setup montage renders (any exception propagates)
+    _t0 = _time.time()
+    for f in futures:
+        f.result()
+    pool.shutdown()
+    if futures:
+        print(f"[summarize] montage drain: {_time.time() - _t0:.1f}s "
+              f"({len(futures)} cells)")
     # Return every processed setup's rows concatenated. Documented deviation
     # (PARITY.md): the reference returns only the LAST setup's table — the
     # concatenation is strictly more informative and the on-disk per-setup

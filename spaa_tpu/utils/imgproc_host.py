@@ -267,28 +267,53 @@ def expand_border(im_hwc: np.ndarray, border=(0, 20, 0, 0),
     return np.asarray(im).astype(np.float32) / 255.0
 
 
+def resize_area_np(x: np.ndarray, size) -> np.ndarray:
+    """Host-numpy twin of :func:`spaa_tpu.ops.image.resize_area` (same
+    ``_area_matrix`` weights, same two-contraction structure, BLAS sgemm
+    via tensordot so pool threads release the GIL). Summarize's montage
+    panels are built from image stacks that ORIGINATE on the host (PNG
+    reads) — resizing them here instead of on-device removes a ~190 MB
+    device→host panel pull per benchmark setup. Results match the device
+    path up to f32 accumulation order (≤1 ulp; quantization to uint8 can
+    differ by 1/255 at a rounding boundary — same tolerance class as
+    every float→uint8 step in this pipeline)."""
+    from spaa_tpu.ops.image import _area_matrix
+    th, tw = int(size[0]), int(size[1])
+    x = np.asarray(x, np.float32)
+    squeeze_to = x.ndim
+    if x.ndim == 2:
+        x = x[..., None]
+    if x.ndim == 3:
+        x = x[None]
+    n, h, w, c = x.shape
+    if (h, w) != (th, tw):
+        ah = _area_matrix(h, th)                      # [th, h]
+        aw = _area_matrix(w, tw)                      # [tw, w]
+        # broadcasted matmuls land in [n, th, tw, c] layout directly —
+        # no GIL-held transpose copies between the two BLAS calls (this
+        # runs inside summarize's render thread pool, where GIL-held
+        # work serializes the workers)
+        x = np.matmul(ah, x.reshape(n, h, w * c)).reshape(n, th, w, c)
+        x = np.matmul(aw, x)                          # aw @ [w, c] per n,th
+    if squeeze_to == 3:
+        return x[0]
+    if squeeze_to == 2:
+        return x[0, ..., 0]
+    return x
+
+
 def to_pseudocolor(x: np.ndarray, colormap=cv.COLORMAP_JET) -> np.ndarray:
     """Normalize + colormap an HxW array → HWC float RGB
     (ref ``img_proc.py:200-207`` / ``projector_based_attack.py:381``).
-    A uint8 input is treated as an already-quantized LUT index (the
-    normalize+quantize step can run on-device — see
-    ``summarize._panels_all_device`` — shipping 1 byte/px over the wire
-    instead of the 4-byte float map)."""
+    A uint8 input is treated as an already-quantized LUT index (callers
+    that precompute the normalize+quantize step — on host or device —
+    pay only the colormap lookup here)."""
     x = np.squeeze(np.asarray(x))
     if x.dtype != np.uint8:
         x = (x - x.min()) / max(x.max() - x.min(), 1e-12)
         x = np.uint8(x * 255)
     cm = cv.applyColorMap(x, colormap)
     return cv.cvtColor(cm, cv.COLOR_BGR2RGB).astype(np.float32) / 255.0
-
-
-def pseudocolor_index_u8(cm: np.ndarray) -> np.ndarray:
-    """The host half of :func:`to_pseudocolor`'s quantization, for tests:
-    ``np.uint8(norm * 255)`` per image over the trailing HxW axes."""
-    cm = np.asarray(cm, np.float32)
-    mn = cm.min(axis=(-2, -1), keepdims=True)
-    mx = cm.max(axis=(-2, -1), keepdims=True)
-    return np.uint8((cm - mn) / np.maximum(mx - mn, 1e-12) * 255)
 
 
 def montage(im_in: np.ndarray, grid_shape=None, padding_width: int = 5,

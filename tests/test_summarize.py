@@ -155,22 +155,17 @@ def test_summarize_all_attackers_writes_xlsx(two_setup_results):
     assert pivot_rows[1][0] == to_attacker_cfg_str("SPAA")[0]
 
 
-def test_diff_panel_device_index_matches_host_quantization():
-    """The montage's 5th panel ships as a device-quantized uint8 LUT index
-    (summarize._panels_all_device). Contract: the on-device normalize +
-    uint8(norm*255) matches the host float path (to_pseudocolor's
-    quantization of the float diff map) up to fp rounding — XLA's fusion
-    of the mean/normalize chain can differ from numpy by 1 ulp, which at a
-    bin boundary moves a pixel into the adjacent LUT bin. Concretely:
-    every pixel within 1 bin, ≥99% bit-exact (measured: 2/1280 off on
-    XLA CPU). This is the same tolerance the float-map wire format had —
-    quantization merely moved from host to device."""
+def test_host_resize_matches_device_and_feeds_montage():
+    """Summarize's montage panels resize on the HOST (resize_area_np —
+    the stacks originate there, so the device round-trip was pure wire
+    cost). Contract: the numpy twin matches the device resize_area to f32
+    accumulation order (≤2e-7 here), and attack_results renders the full
+    5-panel montage from host panels, uint8 path included."""
     import jax.numpy as jnp
 
-    from spaa_tpu.attack.summarize import _panels_all_device
+    from spaa_tpu.attack.summarize import attack_results
     from spaa_tpu.ops.image import center_crop, resize_area
-    from spaa_tpu.utils.imgproc_host import (pseudocolor_index_u8,
-                                             to_pseudocolor)
+    from spaa_tpu.utils.imgproc_host import resize_area_np
 
     rng = np.random.default_rng(3)
     n, cp, prj_hw = 5, (CROP, CROP), (PRJ, PRJ)
@@ -178,26 +173,34 @@ def test_diff_panel_device_index_matches_host_quantization():
     ci = (rng.random((n, CAM_H, CAM_W, 3)) * 255).astype(np.uint8)
     cr = (rng.random((n, CAM_H, CAM_W, 3)) * 255).astype(np.uint8)
 
-    *_, diff_idx = (np.asarray(o) for o in _panels_all_device(
-        jnp.asarray(scene), jnp.asarray(ci), jnp.asarray(cr), cp, prj_hw))
-    assert diff_idx.dtype == np.uint8 and diff_idx.shape == (n, *prj_hw)
+    ci_f = center_crop(ci, cp).astype(np.float32) / 255.0
+    host = resize_area_np(ci_f, prj_hw)
+    dev = np.asarray(resize_area(jnp.asarray(ci_f), prj_hw))
+    assert host.shape == dev.shape == (n, *prj_hw, 3)
+    np.testing.assert_allclose(host, dev, atol=2e-7)
+    # downscale + non-4D forms
+    np.testing.assert_allclose(
+        resize_area_np(ci_f[0], (8, 8)),
+        np.asarray(resize_area(jnp.asarray(ci_f[0]), (8, 8))), atol=2e-7)
+    # identity when sizes already match
+    np.testing.assert_array_equal(resize_area_np(ci_f, cp), ci_f)
 
-    # host float reference: same float panels, numpy quantization
-    scene_rz = np.asarray(resize_area(center_crop(jnp.asarray(scene), cp),
-                                      prj_hw))[0]
-    real_rz = np.asarray(resize_area(center_crop(
-        jnp.asarray(cr, jnp.float32) / 255.0, cp), prj_hw))
-    diff_map = np.abs(real_rz - scene_rz[None]).mean(-1)
-    host_idx = pseudocolor_index_u8(diff_map)
-    delta = np.abs(diff_idx.astype(np.int16) - host_idx.astype(np.int16))
-    assert delta.max() <= 1, f"index off by >1 LUT bin (max {delta.max()})"
-    assert (delta == 0).mean() >= 0.99, \
-        f"only {(delta == 0).mean():.2%} bit-exact"
-
-    # the uint8 path applies the LUT directly (no renormalization — a
-    # float round-trip would re-truncate: uint8(k/255*255) can be k-1)
-    import cv2 as cv
-    for t in range(n):
-        lut = cv.cvtColor(cv.applyColorMap(diff_idx[t], cv.COLORMAP_JET),
-                          cv.COLOR_BGR2RGB).astype(np.float32) / 255.0
-        np.testing.assert_array_equal(to_pseudocolor(diff_idx[t]), lut)
+    # full montage from host panels (summarize's render() path)
+    scene_rz = resize_area_np(center_crop(scene, cp), prj_hw)[0]
+    real_rz = resize_area_np(center_crop(cr, cp).astype(np.float32) / 255.0,
+                             prj_hw)
+    prj_adv = (rng.random((n, PRJ, PRJ, 3)) * 255).astype(np.uint8)
+    im_gray = np.full((1, PRJ, PRJ, 3), 0.5, np.float32)
+    p = np.full((n, 10), 0.1)
+    idx = np.tile(np.arange(10), (n, 1))
+    ret = {"scene": (None, p[:1], idx[:1]),
+           "infer": (None, p, idx), "real": (None, p, idx)}
+    labels = {i: f"c{i}" for i in range(10)}
+    l2 = np.ones(n)
+    panels = (scene_rz, host, real_rz, l2, l2, l2)
+    m_u8 = attack_results(ret, 1, labels, im_gray, prj_adv, scene,
+                          None, None, [PRJ, PRJ], cp, panels=panels,
+                          as_uint8=True)
+    assert m_u8.dtype == np.uint8 and m_u8.ndim == 3
+    # 5 panels with 5-px padding
+    assert m_u8.shape[1] == 5 * PRJ + 6 * 5
