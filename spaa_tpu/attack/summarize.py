@@ -123,19 +123,12 @@ def attack_results(ret, t, imgnet_labels, im_gray, prj_adv, cam_scene,
     if prj_adv.dtype == np.uint8 and not as_uint8:
         prj_adv = prj_adv.astype(np.float32) / 255.0
     scene_rz, infer_all, real_all, prj_l2s, pred_l2s, real_l2s = panels[:6]
-    diff_maps = panels[6] if len(panels) > 6 else None
     real_rz = real_all[t]
     infer_rz = infer_all[t]
 
-    if diff_maps is not None:
-        # diff map precomputed on device from the float panels: either the
-        # quantized uint8 LUT index (summarize's wire format) or a float
-        # map (to_pseudocolor normalizes/quantizes whichever it gets)
-        diff_color = to_pseudocolor(diff_maps[t])
-    else:
-        diff = np.abs(real_rz - scene_rz)
-        diff = (diff - diff.min()) / max(diff.max() - diff.min(), 1e-12)
-        diff_color = to_pseudocolor(diff.mean(-1))
+    diff = np.abs(real_rz - scene_rz)
+    diff = (diff - diff.min()) / max(diff.max() - diff.min(), 1e-12)
+    diff_color = to_pseudocolor(diff.mean(-1))
 
     if as_uint8:
         def u8(x):
@@ -259,294 +252,309 @@ def summarize_single_attacker(attacker_name: str, data_root: str, setup_list,
     from concurrent.futures import ThreadPoolExecutor
     pool = ThreadPoolExecutor(max_workers=min(8, max(os.cpu_count() or 1, 2)))
     futures = []
+    _MAX_PENDING_RENDERS = 48
     setup_tables = []
-    for setup_name in setup_list:
-        table = pd.DataFrame(columns=columns)
-        setup_tables.append(table)
-        setup_path = join(data_root, "setups", setup_name)
-        print(f"\nCalculating stats of [{attacker_name}] on [{setup_path}]")
-        setup_info = load_setup_info(setup_path)
-        cp_sz = tuple(int(c) for c in setup_info["classifier_crop_sz"])
-        pw, ph = setup_info["prj_im_sz"]
-        im_gray = np.full((1, ph, pw, 3),
-                          float(setup_info["prj_brightness"]), np.float32)
-        cam_scene = imread(join(setup_path, "cam/raw/ref/img_0002.png"))[None]
+    try:
+        for setup_name in setup_list:
+            table = pd.DataFrame(columns=columns)
+            setup_tables.append(table)
+            setup_path = join(data_root, "setups", setup_name)
+            print(f"\nCalculating stats of [{attacker_name}] on [{setup_path}]")
+            setup_info = load_setup_info(setup_path)
+            cp_sz = tuple(int(c) for c in setup_info["classifier_crop_sz"])
+            pw, ph = setup_info["prj_im_sz"]
+            im_gray = np.full((1, ph, pw, 3),
+                              float(setup_info["prj_brightness"]), np.float32)
+            cam_scene = imread(join(setup_path, "cam/raw/ref/img_0002.png"))[None]
 
-        import time as _time
-        phase_t = {"valid": 0.0, "io": 0.0, "stage": 0.0, "classify": 0.0,
-                   "metrics": 0.0, "panels": 0.0, "rows": 0.0}
-        _t0 = _time.time()
-        # validation block (ref :463-473). Images travel as uint8 and are
-        # center-cropped on the HOST before upload: the f32 uncropped path
-        # shipped ~370 MB per setup over the tunnel and was the dominant
-        # summarize cost (measured ~400 s of a 497 s SPAA summarize on a
-        # slow axon window); uint8+crop is ~70 MB, metrics in one dispatch.
-        if attacker_name == "SPAA":
-            inf_dir = join(setup_path, "cam/infer/test", model_cfg_str)
-            gt_dir = join(setup_path, "cam/raw/test")
-            if os.path.isdir(inf_dir):
-                im_infer = center_crop(imread_dir(inf_dir, as_uint8=True),
-                                       cp_sz)       # numpy slice, no copy
-                im_gt = center_crop(imread_dir(gt_dir, as_uint8=True),
-                                    cp_sz)
-                valid_ret = [float(v) for v in _valid_metrics_jit(
-                    jnp.asarray(im_infer), jnp.asarray(im_gt))]
+            import time as _time
+            phase_t = {"valid": 0.0, "io": 0.0, "stage": 0.0, "classify": 0.0,
+                       "metrics": 0.0, "panels": 0.0, "rows": 0.0}
+            _t0 = _time.time()
+            # validation block (ref :463-473). Images travel as uint8 and are
+            # center-cropped on the HOST before upload: the f32 uncropped path
+            # shipped ~370 MB per setup over the tunnel and was the dominant
+            # summarize cost (measured ~400 s of a 497 s SPAA summarize on a
+            # slow axon window); uint8+crop is ~70 MB, metrics in one dispatch.
+            if attacker_name == "SPAA":
+                inf_dir = join(setup_path, "cam/infer/test", model_cfg_str)
+                gt_dir = join(setup_path, "cam/raw/test")
+                if os.path.isdir(inf_dir):
+                    im_infer = center_crop(imread_dir(inf_dir, as_uint8=True),
+                                           cp_sz)       # numpy slice, no copy
+                    im_gt = center_crop(imread_dir(gt_dir, as_uint8=True),
+                                        cp_sz)
+                    valid_ret = [float(v) for v in _valid_metrics_jit(
+                        jnp.asarray(im_infer), jnp.asarray(im_gt))]
+                else:
+                    valid_ret = [0] * 6
+            elif attacker_name == "PerC-AL+CompenNet++":
+                inf_dir = join(setup_path, "prj/infer/test", model_cfg_str)
+                gt_dir = join(data_root, "prj_share/test")
+                if os.path.isdir(inf_dir):
+                    im_infer = imread_dir(inf_dir, as_uint8=True)
+                    im_gt = imread_dir(gt_dir,
+                                       index=list(range(im_infer.shape[0])),
+                                       as_uint8=True)
+                    valid_ret = [float(v) for v in _valid_metrics_jit(
+                        jnp.asarray(im_infer), jnp.asarray(im_gt))]
+                else:
+                    valid_ret = [0] * 6
             else:
                 valid_ret = [0] * 6
-        elif attacker_name == "PerC-AL+CompenNet++":
-            inf_dir = join(setup_path, "prj/infer/test", model_cfg_str)
-            gt_dir = join(data_root, "prj_share/test")
-            if os.path.isdir(inf_dir):
-                im_infer = imread_dir(inf_dir, as_uint8=True)
-                im_gt = imread_dir(gt_dir,
-                                   index=list(range(im_infer.shape[0])),
-                                   as_uint8=True)
-                valid_ret = [float(v) for v in _valid_metrics_jit(
-                    jnp.asarray(im_infer), jnp.asarray(im_gt))]
-            else:
-                valid_ret = [0] * 6
-        else:
-            valid_ret = [0] * 6
 
-        # ---- pass 1: enumerate result cells + host image I/O ----------
-        # (ref runs the classifier per cell, serially — the ~30-min hotspot,
-        # reproduce_paper_results.py:71; here all cells of one classifier
-        # become ONE chunked batched classification below)
-        phase_t["valid"] = _time.time() - _t0
-        _t0 = _time.time()
-        cells = []
-        for stealth_loss in stealth_losses:
-            for d_thr in d_threshes:
-                for classifier_name in classifier_names:
-                    folder = join(attacker_cfg_str, stealth_loss, str(d_thr),
-                                  classifier_name)
-                    prj_adv_path = join(setup_path, "prj/adv", folder)
-                    cam_infer_path = join(setup_path, "cam/infer/adv", folder)
-                    cam_real_path = join(setup_path, "cam/raw/adv", folder)
+            # ---- pass 1: enumerate result cells + host image I/O ----------
+            # (ref runs the classifier per cell, serially — the ~30-min hotspot,
+            # reproduce_paper_results.py:71; here all cells of one classifier
+            # become ONE chunked batched classification below)
+            phase_t["valid"] = _time.time() - _t0
+            _t0 = _time.time()
+            cells = []
+            for stealth_loss in stealth_losses:
+                for d_thr in d_threshes:
+                    for classifier_name in classifier_names:
+                        folder = join(attacker_cfg_str, stealth_loss, str(d_thr),
+                                      classifier_name)
+                        prj_adv_path = join(setup_path, "prj/adv", folder)
+                        cam_infer_path = join(setup_path, "cam/infer/adv", folder)
+                        cam_real_path = join(setup_path, "cam/raw/adv", folder)
 
-                    dirs = [prj_adv_path, cam_real_path]
-                    if dl_based:
-                        dirs.append(cam_infer_path)
-                    if any(not os.path.isdir(d) or not os.listdir(d)
-                           for d in dirs):
-                        print(f"No such folder/images: {folder} — skipping")
-                        break
+                        dirs = [prj_adv_path, cam_real_path]
+                        if dl_based:
+                            dirs.append(cam_infer_path)
+                        if any(not os.path.isdir(d) or not os.listdir(d)
+                               for d in dirs):
+                            print(f"No such folder/images: {folder} — skipping")
+                            break
 
-                    # uint8 in host memory (lossless: the PNGs are 8-bit);
-                    # device staging happens once for ALL cells below
-                    cam_real = imread_dir(cam_real_path, as_uint8=True)
-                    prj_adv = imread_dir(prj_adv_path, as_uint8=True)
-                    cam_infer = (imread_dir(cam_infer_path, as_uint8=True)
-                                 if dl_based else cam_real)
-                    cells.append(dict(
-                        stealth_loss=stealth_loss, d_thr=d_thr,
-                        classifier_name=classifier_name, folder=folder,
-                        prj_adv=prj_adv, cam_infer=cam_infer,
-                        cam_real=cam_real))
+                        # uint8 in host memory (lossless: the PNGs are 8-bit);
+                        # device staging happens once for ALL cells below
+                        cam_real = imread_dir(cam_real_path, as_uint8=True)
+                        prj_adv = imread_dir(prj_adv_path, as_uint8=True)
+                        cam_infer = (imread_dir(cam_infer_path, as_uint8=True)
+                                     if dl_based else cam_real)
+                        cells.append(dict(
+                            stealth_loss=stealth_loss, d_thr=d_thr,
+                            classifier_name=classifier_name, folder=folder,
+                            prj_adv=prj_adv, cam_infer=cam_infer,
+                            cam_real=cam_real))
 
-        if not cells:
+            if not cells:
+                print(f"\n---- [{attacker_name}] results on [{setup_name}] ----")
+                print(table.to_string(index=False, float_format="%.4f"))
+                _write_stats_txt(table, join(setup_path, "ret",
+                                             attacker_cfg_str))
+                continue
+
+            phase_t["io"] = _time.time() - _t0
+            _t0 = _time.time()
+            # ---- pass 1.5: device staging — ONE put per image-stack kind ----
+            # On a networked TPU backend the per-dispatch round-trip can reach
+            # seconds; everything below is a constant handful of dispatches
+            # per (setup, attacker) regardless of how many cells exist.
+            m = n + 1  # images per cell (10 targeted + 1 untargeted)
+            complete = [c["prj_adv"].shape[0] == m and c["cam_real"].shape[0] == m
+                        and c["cam_infer"].shape[0] == m for c in cells]
+            for c, is_ok in zip(cells, complete):
+                if not is_ok:
+                    print(f"Incomplete result cell (expected {m} images): "
+                          f"{c['folder']} — skipping")
+            cells = [c for c, is_ok in zip(cells, complete) if is_ok]
+            if not cells:
+                _write_stats_txt(table, join(setup_path, "ret",
+                                             attacker_cfg_str))
+                continue
+            pa_all = jnp.asarray(np.concatenate([c["prj_adv"] for c in cells]))
+            # camera stacks: EVERY downstream consumer (classify pipeline,
+            # stealth metrics, montage panels) center-crops to cp_sz first —
+            # crop on the HOST and ship only the crop (25% less wire at the
+            # benchmark 240x320→240x240 shapes; the downstream center_crop
+            # calls become identity slices on the already-cropped stacks)
+            ci_host = np.ascontiguousarray(center_crop(
+                np.concatenate([c["cam_infer"] for c in cells]), cp_sz))
+            cr_host = np.ascontiguousarray(center_crop(
+                np.concatenate([c["cam_real"] for c in cells]), cp_sz))
+            ci_all = jnp.asarray(ci_host)
+            cr_all = jnp.asarray(cr_host)
+            cam_scene_u8 = np.uint8(np.round(np.asarray(cam_scene) * 255.0))
+            scene_dev = jnp.asarray(
+                np.ascontiguousarray(center_crop(cam_scene_u8, cp_sz)))
+
+            phase_t["stage"] = _time.time() - _t0
+            _t0 = _time.time()
+            # ---- pass 2: one chunked classification batch per classifier --
+            for classifier_name in classifier_names:
+                idxs = [i for i, c in enumerate(cells)
+                        if c["classifier_name"] == classifier_name]
+                if not idxs:
+                    continue
+                clf = Classifier(classifier_name, weights_dir, sort_results=True)
+                stack = jnp.concatenate(
+                    [scene_dev] + [a for i in idxs
+                                   for a in (ci_all[i * m:(i + 1) * m],
+                                             cr_all[i * m:(i + 1) * m])], 0)
+                _, p_all, idx_all = clf(stack, cp_sz)
+                scene_ret = (None, p_all[:1], idx_all[:1])
+                for k, i in enumerate(idxs):
+                    ofs = 1 + 2 * m * k
+                    cells[i]["ret"] = {
+                        "scene": scene_ret,
+                        "infer": (None, p_all[ofs:ofs + m],
+                                  idx_all[ofs:ofs + m]),
+                        "real": (None, p_all[ofs + m:ofs + 2 * m],
+                                 idx_all[ofs + m:ofs + 2 * m])}
+                # NOTE: load_params memoizes per (model, weights_dir); all three
+                # classifiers' device params stay resident across the summarize
+                # (intentional — multi-setup summarize revisits each classifier
+                # per setup; ~0.7 GB f32 total for the zoo). Call
+                # spaa_tpu.models.classifiers.clear_params_cache() to evict.
+
+            phase_t["classify"] = _time.time() - _t0
+            _t0 = _time.time()
+            # ---- pass 2.5: ALL cells' stealthiness metrics, ONE dispatch ----
+            # (per-sample primitives; the targeted/untargeted/all blocks are
+            # host-side slice aggregates — the reference re-ran the full
+            # bundle 9x per cell over overlapping slices)
+            ci_cp = center_crop(ci_all, cp_sz)
+            cr_cp = center_crop(cr_all, cp_sz)
+            cs = center_crop(jnp.asarray(cam_scene), cp_sz)
+            gray = jnp.broadcast_to(jnp.asarray(im_gray), pa_all.shape)
+            cs_b = jnp.broadcast_to(cs, ci_cp.shape)
+            all_vals = _stealth_metrics_jit(pa_all, gray, ci_cp, cr_cp, cs_b)
+            all_vals = [np.asarray(v) for v in all_vals]   # 15 x [C*m]
+
+            phase_t["metrics"] = _time.time() - _t0
+            _t0 = _time.time()
+            # ---- pass 2.6: montage panels are pure HOST work ----
+            # The camera stacks originate on the host (PNG reads), so the
+            # area-resize runs there too (resize_area_np — numpy twin of the
+            # device resize, BLAS-backed) inside the render pool below. The
+            # round-4 device variant (_panels_all_device) resized on-device
+            # and pulled ~190 MB of panels back per benchmark setup — an
+            # 8 s/setup serial phase that existed only to use the device for
+            # a resize of data already sitting in host RAM.
+            prj_hw = (int(setup_info["prj_im_sz"][1]),
+                      int(setup_info["prj_im_sz"][0]))
+
+            def _montages_exist(c):
+                ret_dir = join(setup_path, "ret", c["folder"])
+                return (os.path.isdir(ret_dir)
+                        and len([f for f in os.listdir(ret_dir)
+                                 if f.endswith(".png")]) >= m)
+
+            need_montage = [recreate_imgs or not _montages_exist(c)
+                            for c in cells]
+            if any(need_montage):
+                scene_rz = resize_area_np(
+                    center_crop(np.asarray(cam_scene, np.float32), cp_sz),
+                    prj_hw)[0]
+
+            phase_t["panels"] = _time.time() - _t0
+            _t0 = _time.time()
+            # ---- pass 3: stats rows; montage assembly/writes (pure host
+            # numpy/PIL) run in the cross-setup thread pool, off the
+            # critical path ----
+            for k, c in enumerate(cells):
+                ret = c["ret"]
+                sl_cell = slice(k * m, (k + 1) * m)
+                cell_vals = [v[sl_cell] for v in all_vals]
+                prj_vals, infer_vals, real_vals = (cell_vals[0:5],
+                                                   cell_vals[5:10],
+                                                   cell_vals[10:15])
+                # montage panels for this cell: host resize of the cropped
+                # stacks + the L2 columns (same definition as the stealth L2
+                # primitive). Everything — resize, quantization, annotation,
+                # PNG write — runs in the pool, overlapped with the device
+                # phases of the stats rows.
+                if need_montage[k]:
+                    # bind EVERY per-setup value as a default arg: renders
+                    # outlive the setup-loop iteration that created them
+                    # (cross-setup pool), so free variables would late-bind
+                    # to the NEXT setup's scene/crop/paths
+                    def render(ret=ret, prj_adv=c["prj_adv"],
+                               ci=ci_host[sl_cell], cr=cr_host[sl_cell],
+                               l2s=(prj_vals[2], infer_vals[2], real_vals[2]),
+                               folder=c["folder"], scene_rz=scene_rz,
+                               prj_hw=prj_hw, im_gray=im_gray,
+                               cam_scene=cam_scene, cp_sz=cp_sz, m=m,
+                               prj_im_sz=tuple(setup_info["prj_im_sz"]),
+                               out_dir=join(setup_path, "ret")):
+                        def f01(x):
+                            return (x.astype(np.float32) / 255.0
+                                    if x.dtype == np.uint8 else x)
+                        infer_rz = resize_area_np(f01(ci), prj_hw)
+                        real_rz = resize_area_np(f01(cr), prj_hw)
+                        panels = (scene_rz, infer_rz, real_rz, *l2s)
+                        montage = [attack_results(ret, t, imagenet_labels,
+                                                  im_gray, prj_adv, cam_scene,
+                                                  None, None, prj_im_sz,
+                                                  cp_sz, panels=panels,
+                                                  as_uint8=True)
+                                   for t in range(m)]
+                        save_imgs(np.stack(montage, 0), join(out_dir, folder))
+
+                    # backpressure: each render closure pins views of its
+                    # setup's image stacks, so an unbounded queue could pin
+                    # many setups' stacks at once if PNG writes fall behind
+                    # the device phases. Waiting on the render submitted
+                    # _MAX_PENDING_RENDERS ago (FIFO pool) bounds pending
+                    # renders — ~1.3 SPAA setups' worth of cells — while
+                    # keeping the cross-setup overlap.
+                    if len(futures) >= _MAX_PENDING_RENDERS:
+                        futures[-_MAX_PENDING_RENDERS].result()
+                    futures.append(pool.submit(render))
+
+                # success rates (ref :521-533)
+                t1_infer = np.count_nonzero(
+                    ret["infer"][2][:n, 0] == target_idx) / n
+                t5_infer = np.count_nonzero(
+                    [target_idx[i] in ret["infer"][2][i, :5]
+                     for i in range(n)]) / n
+                t1_real = np.count_nonzero(
+                    ret["real"][2][:n, 0] == target_idx) / n
+                t5_real = np.count_nonzero(
+                    [target_idx[i] in ret["real"][2][i, :5]
+                     for i in range(n)]) / n
+                true_i = ret["scene"][2][0, 0]
+                t1_untar_infer = int(ret["infer"][2][n, 0] != true_i)
+                t1_untar_real = int(ret["real"][2][n, 0] != true_i)
+
+                def stealth_block(sl):
+                    return (list(dists_from_per_sample(prj_vals, sl))
+                            + list(dists_from_per_sample(infer_vals, sl))
+                            + list(dists_from_per_sample(real_vals, sl)))
+
+                table.loc[len(table)] = [
+                    setup_name, attacker_cfg_str, c["stealth_loss"], c["d_thr"],
+                    c["classifier_name"], t1_infer, t5_infer, t1_real,
+                    t5_real, t1_untar_infer, t1_untar_real, *valid_ret,
+                    *stealth_block(slice(0, n)),        # targeted
+                    *stealth_block(slice(n, n + 1)),    # untargeted
+                    *stealth_block(slice(0, n + 1)),    # all
+                ]
+            phase_t["rows"] = _time.time() - _t0
+            print("[summarize] " + " ".join(f"{k}={v:.1f}s"
+                                            for k, v in phase_t.items())
+                  + f" (montages pending: {sum(not f.done() for f in futures)})")
+
             print(f"\n---- [{attacker_name}] results on [{setup_name}] ----")
             print(table.to_string(index=False, float_format="%.4f"))
-            _write_stats_txt(table, join(setup_path, "ret",
-                                         attacker_cfg_str))
-            continue
 
-        phase_t["io"] = _time.time() - _t0
+            ret_path = join(setup_path, "ret", attacker_cfg_str)
+            _write_stats_txt(table, ret_path)
+            to_excel(table, join(ret_path, "stats.xlsx"), index=False)
+        # drain the cross-setup montage renders (any exception propagates)
         _t0 = _time.time()
-        # ---- pass 1.5: device staging — ONE put per image-stack kind ----
-        # On a networked TPU backend the per-dispatch round-trip can reach
-        # seconds; everything below is a constant handful of dispatches
-        # per (setup, attacker) regardless of how many cells exist.
-        m = n + 1  # images per cell (10 targeted + 1 untargeted)
-        complete = [c["prj_adv"].shape[0] == m and c["cam_real"].shape[0] == m
-                    and c["cam_infer"].shape[0] == m for c in cells]
-        for c, is_ok in zip(cells, complete):
-            if not is_ok:
-                print(f"Incomplete result cell (expected {m} images): "
-                      f"{c['folder']} — skipping")
-        cells = [c for c, is_ok in zip(cells, complete) if is_ok]
-        if not cells:
-            _write_stats_txt(table, join(setup_path, "ret",
-                                         attacker_cfg_str))
-            continue
-        pa_all = jnp.asarray(np.concatenate([c["prj_adv"] for c in cells]))
-        # camera stacks: EVERY downstream consumer (classify pipeline,
-        # stealth metrics, montage panels) center-crops to cp_sz first —
-        # crop on the HOST and ship only the crop (25% less wire at the
-        # benchmark 240x320→240x240 shapes; the downstream center_crop
-        # calls become identity slices on the already-cropped stacks)
-        ci_host = np.ascontiguousarray(center_crop(
-            np.concatenate([c["cam_infer"] for c in cells]), cp_sz))
-        cr_host = np.ascontiguousarray(center_crop(
-            np.concatenate([c["cam_real"] for c in cells]), cp_sz))
-        ci_all = jnp.asarray(ci_host)
-        cr_all = jnp.asarray(cr_host)
-        cam_scene_u8 = np.uint8(np.round(np.asarray(cam_scene) * 255.0))
-        scene_dev = jnp.asarray(
-            np.ascontiguousarray(center_crop(cam_scene_u8, cp_sz)))
-
-        phase_t["stage"] = _time.time() - _t0
-        _t0 = _time.time()
-        # ---- pass 2: one chunked classification batch per classifier --
-        for classifier_name in classifier_names:
-            idxs = [i for i, c in enumerate(cells)
-                    if c["classifier_name"] == classifier_name]
-            if not idxs:
-                continue
-            clf = Classifier(classifier_name, weights_dir, sort_results=True)
-            stack = jnp.concatenate(
-                [scene_dev] + [a for i in idxs
-                               for a in (ci_all[i * m:(i + 1) * m],
-                                         cr_all[i * m:(i + 1) * m])], 0)
-            _, p_all, idx_all = clf(stack, cp_sz)
-            scene_ret = (None, p_all[:1], idx_all[:1])
-            for k, i in enumerate(idxs):
-                ofs = 1 + 2 * m * k
-                cells[i]["ret"] = {
-                    "scene": scene_ret,
-                    "infer": (None, p_all[ofs:ofs + m],
-                              idx_all[ofs:ofs + m]),
-                    "real": (None, p_all[ofs + m:ofs + 2 * m],
-                             idx_all[ofs + m:ofs + 2 * m])}
-            # NOTE: load_params memoizes per (model, weights_dir); all three
-            # classifiers' device params stay resident across the summarize
-            # (intentional — multi-setup summarize revisits each classifier
-            # per setup; ~0.7 GB f32 total for the zoo). Call
-            # spaa_tpu.models.classifiers.clear_params_cache() to evict.
-
-        phase_t["classify"] = _time.time() - _t0
-        _t0 = _time.time()
-        # ---- pass 2.5: ALL cells' stealthiness metrics, ONE dispatch ----
-        # (per-sample primitives; the targeted/untargeted/all blocks are
-        # host-side slice aggregates — the reference re-ran the full
-        # bundle 9x per cell over overlapping slices)
-        ci_cp = center_crop(ci_all, cp_sz)
-        cr_cp = center_crop(cr_all, cp_sz)
-        cs = center_crop(jnp.asarray(cam_scene), cp_sz)
-        gray = jnp.broadcast_to(jnp.asarray(im_gray), pa_all.shape)
-        cs_b = jnp.broadcast_to(cs, ci_cp.shape)
-        all_vals = _stealth_metrics_jit(pa_all, gray, ci_cp, cr_cp, cs_b)
-        all_vals = [np.asarray(v) for v in all_vals]   # 15 x [C*m]
-
-        phase_t["metrics"] = _time.time() - _t0
-        _t0 = _time.time()
-        # ---- pass 2.6: montage panels are pure HOST work ----
-        # The camera stacks originate on the host (PNG reads), so the
-        # area-resize runs there too (resize_area_np — numpy twin of the
-        # device resize, BLAS-backed) inside the render pool below. The
-        # round-4 device variant (_panels_all_device) resized on-device
-        # and pulled ~190 MB of panels back per benchmark setup — an
-        # 8 s/setup serial phase that existed only to use the device for
-        # a resize of data already sitting in host RAM.
-        prj_hw = (int(setup_info["prj_im_sz"][1]),
-                  int(setup_info["prj_im_sz"][0]))
-
-        def _montages_exist(c):
-            ret_dir = join(setup_path, "ret", c["folder"])
-            return (os.path.isdir(ret_dir)
-                    and len([f for f in os.listdir(ret_dir)
-                             if f.endswith(".png")]) >= m)
-
-        need_montage = [recreate_imgs or not _montages_exist(c)
-                        for c in cells]
-        if any(need_montage):
-            scene_rz = resize_area_np(
-                center_crop(np.asarray(cam_scene, np.float32), cp_sz),
-                prj_hw)[0]
-
-        phase_t["panels"] = _time.time() - _t0
-        _t0 = _time.time()
-        # ---- pass 3: stats rows; montage assembly/writes (pure host
-        # numpy/PIL) run in the cross-setup thread pool, off the
-        # critical path ----
-        for k, c in enumerate(cells):
-            ret = c["ret"]
-            sl_cell = slice(k * m, (k + 1) * m)
-            cell_vals = [v[sl_cell] for v in all_vals]
-            prj_vals, infer_vals, real_vals = (cell_vals[0:5],
-                                               cell_vals[5:10],
-                                               cell_vals[10:15])
-            # montage panels for this cell: host resize of the cropped
-            # stacks + the L2 columns (same definition as the stealth L2
-            # primitive). Everything — resize, quantization, annotation,
-            # PNG write — runs in the pool, overlapped with the device
-            # phases of the stats rows.
-            if need_montage[k]:
-                # bind EVERY per-setup value as a default arg: renders
-                # outlive the setup-loop iteration that created them
-                # (cross-setup pool), so free variables would late-bind
-                # to the NEXT setup's scene/crop/paths
-                def render(ret=ret, prj_adv=c["prj_adv"],
-                           ci=ci_host[sl_cell], cr=cr_host[sl_cell],
-                           l2s=(prj_vals[2], infer_vals[2], real_vals[2]),
-                           folder=c["folder"], scene_rz=scene_rz,
-                           prj_hw=prj_hw, im_gray=im_gray,
-                           cam_scene=cam_scene, cp_sz=cp_sz, m=m,
-                           prj_im_sz=tuple(setup_info["prj_im_sz"]),
-                           out_dir=join(setup_path, "ret")):
-                    def f01(x):
-                        return (x.astype(np.float32) / 255.0
-                                if x.dtype == np.uint8 else x)
-                    infer_rz = resize_area_np(f01(ci), prj_hw)
-                    real_rz = resize_area_np(f01(cr), prj_hw)
-                    panels = (scene_rz, infer_rz, real_rz, *l2s)
-                    montage = [attack_results(ret, t, imagenet_labels,
-                                              im_gray, prj_adv, cam_scene,
-                                              None, None, prj_im_sz,
-                                              cp_sz, panels=panels,
-                                              as_uint8=True)
-                               for t in range(m)]
-                    save_imgs(np.stack(montage, 0), join(out_dir, folder))
-
-                futures.append(pool.submit(render))
-
-            # success rates (ref :521-533)
-            t1_infer = np.count_nonzero(
-                ret["infer"][2][:n, 0] == target_idx) / n
-            t5_infer = np.count_nonzero(
-                [target_idx[i] in ret["infer"][2][i, :5]
-                 for i in range(n)]) / n
-            t1_real = np.count_nonzero(
-                ret["real"][2][:n, 0] == target_idx) / n
-            t5_real = np.count_nonzero(
-                [target_idx[i] in ret["real"][2][i, :5]
-                 for i in range(n)]) / n
-            true_i = ret["scene"][2][0, 0]
-            t1_untar_infer = int(ret["infer"][2][n, 0] != true_i)
-            t1_untar_real = int(ret["real"][2][n, 0] != true_i)
-
-            def stealth_block(sl):
-                return (list(dists_from_per_sample(prj_vals, sl))
-                        + list(dists_from_per_sample(infer_vals, sl))
-                        + list(dists_from_per_sample(real_vals, sl)))
-
-            table.loc[len(table)] = [
-                setup_name, attacker_cfg_str, c["stealth_loss"], c["d_thr"],
-                c["classifier_name"], t1_infer, t5_infer, t1_real,
-                t5_real, t1_untar_infer, t1_untar_real, *valid_ret,
-                *stealth_block(slice(0, n)),        # targeted
-                *stealth_block(slice(n, n + 1)),    # untargeted
-                *stealth_block(slice(0, n + 1)),    # all
-            ]
-        phase_t["rows"] = _time.time() - _t0
-        print("[summarize] " + " ".join(f"{k}={v:.1f}s"
-                                        for k, v in phase_t.items())
-              + f" (montages pending: {sum(not f.done() for f in futures)})")
-
-        print(f"\n---- [{attacker_name}] results on [{setup_name}] ----")
-        print(table.to_string(index=False, float_format="%.4f"))
-
-        ret_path = join(setup_path, "ret", attacker_cfg_str)
-        _write_stats_txt(table, ret_path)
-        to_excel(table, join(ret_path, "stats.xlsx"), index=False)
-    # drain the cross-setup montage renders (any exception propagates)
-    _t0 = _time.time()
-    for f in futures:
-        f.result()
-    pool.shutdown()
-    if futures:
-        print(f"[summarize] montage drain: {_time.time() - _t0:.1f}s "
-              f"({len(futures)} cells)")
+        for f in futures:
+            f.result()
+        if futures:
+            print(f"[summarize] montage drain: {_time.time() - _t0:.1f}s "
+                  f"({len(futures)} cells)")
+    finally:
+        # on an exception anywhere above: cancel queued renders and
+        # wait out the running ones, so no orphan pool threads keep
+        # resizing/writing PNGs after summarize has raised
+        pool.shutdown(wait=True, cancel_futures=True)
     # Return every processed setup's rows concatenated. Documented deviation
     # (PARITY.md): the reference returns only the LAST setup's table — the
     # concatenation is strictly more informative and the on-disk per-setup

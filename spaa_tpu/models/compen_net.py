@@ -22,7 +22,7 @@ from flax import linen as nn
 
 from spaa_tpu.models.layers import (Conv2dTorch, Conv2dTorchE,
                                     ConvTranspose2dTorch,
-                                    packed_encoder_forward)
+                                    packed_encoder_forward, packed_which)
 from spaa_tpu.models.warping_net import WarpingNet
 
 
@@ -37,7 +37,7 @@ class CompenNet(nn.Module):
     # Same packed two-branch encoder knob as ShadingNetSPAA (the skeleton
     # is shared) — OFF by default for the same in-context reason (see
     # ShadingNetSPAA.packed_encoder / tools/incontext_ab.py).
-    packed_encoder: bool = False
+    packed_encoder: bool | str = False
     # Subpixel form of transConv1/2 (both k2s2 here); off by default
     subpix_tconv: bool | None = None
 
@@ -90,7 +90,8 @@ class CompenNet(nn.Module):
             # layers.packed_encoder_forward / pack_block_diag).
             # Compensation with a cached surface passes surface_feats and
             # skips this path.
-            h, res2, res3 = packed_encoder_forward(self, x, s)
+            h, res2, res3 = packed_encoder_forward(
+                self, x, s, which=packed_which(self.packed_encoder))
         else:
             sf = (self.surface_features(s)
                   if surface_feats is None else surface_feats)

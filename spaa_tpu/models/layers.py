@@ -310,6 +310,13 @@ def packed_which(flag) -> tuple:
         return (1, 2)
     if flag in ("enc1", "enc2"):
         return (int(flag[-1]),)
+    if flag:
+        # an unrecognized truthy value ('enc3', 'both', 1, ...) must not
+        # silently select the unpacked path — an A/B harness would then
+        # measure the baseline and report it as the packed variant
+        raise ValueError(
+            f"packed_encoder={flag!r}: expected True, False, None, "
+            "'enc1' or 'enc2'")
     return ()
 
 

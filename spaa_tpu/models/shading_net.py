@@ -24,7 +24,7 @@ from flax import linen as nn
 
 from spaa_tpu.models.layers import (Conv2dTorch, Conv2dTorchE,
                                     ConvTranspose2dTorch,
-                                    packed_encoder_forward)
+                                    packed_encoder_forward, packed_which)
 
 
 class SurfaceFeatures(NamedTuple):
@@ -142,7 +142,6 @@ class ShadingNetSPAA(nn.Module):
             s = jnp.concatenate(
                 [jnp.broadcast_to(t, (b,) + t.shape[1:]) for t in surfaces],
                 axis=-1)
-            from spaa_tpu.models.layers import packed_which
             h, res2, res3 = packed_encoder_forward(
                 self, x, s, which=packed_which(self.packed_encoder))
         else:

@@ -303,16 +303,11 @@ def resize_area_np(x: np.ndarray, size) -> np.ndarray:
 
 
 def to_pseudocolor(x: np.ndarray, colormap=cv.COLORMAP_JET) -> np.ndarray:
-    """Normalize + colormap an HxW array → HWC float RGB
-    (ref ``img_proc.py:200-207`` / ``projector_based_attack.py:381``).
-    A uint8 input is treated as an already-quantized LUT index (callers
-    that precompute the normalize+quantize step — on host or device —
-    pay only the colormap lookup here)."""
-    x = np.squeeze(np.asarray(x))
-    if x.dtype != np.uint8:
-        x = (x - x.min()) / max(x.max() - x.min(), 1e-12)
-        x = np.uint8(x * 255)
-    cm = cv.applyColorMap(x, colormap)
+    """Min-max normalize + colormap an HxW array → HWC float RGB
+    (ref ``img_proc.py:200-207`` / ``projector_based_attack.py:381``)."""
+    x = np.squeeze(np.asarray(x)).astype(np.float32)
+    x = (x - x.min()) / max(x.max() - x.min(), 1e-12)
+    cm = cv.applyColorMap(np.uint8(x * 255), colormap)
     return cv.cvtColor(cm, cv.COLOR_BGR2RGB).astype(np.float32) / 255.0
 
 

@@ -171,6 +171,22 @@ def test_packed_encoder_matches_unpacked(rng):
             jax.tree_util.tree_structure(g_u)
 
 
+def test_packed_encoder_rejects_unknown_values():
+    """An unrecognized truthy packed_encoder value must raise, not
+    silently fall back to the unpacked path (an A/B harness would then
+    measure the baseline and report it as the packed variant)."""
+    from spaa_tpu.models.layers import packed_which
+
+    assert packed_which(True) == (1, 2)
+    assert packed_which("enc1") == (1,)
+    assert packed_which("enc2") == (2,)
+    assert packed_which(False) == ()
+    assert packed_which(None) == ()
+    for bad in ("enc3", "both", 1):
+        with pytest.raises(ValueError):
+            packed_which(bad)
+
+
 def test_pcnet_forward_and_grads(rng):
     net = PCNet(out_size=(16, 20))
     prj = jnp.asarray(rng.random((2, 12, 12, 3), np.float32))
