@@ -1,6 +1,10 @@
 from spaa_tpu.parallel.mesh import (batch_sharding, make_mesh, replicate,
                                     replicated, shard_attack_inputs,
                                     shard_batch)
+from spaa_tpu.parallel.multi_setup import (stack_setups,
+                                           train_pcnet_multi_setup,
+                                           unstack_setups)
 
 __all__ = ["batch_sharding", "make_mesh", "replicate", "replicated",
-           "shard_attack_inputs", "shard_batch"]
+           "shard_attack_inputs", "shard_batch", "stack_setups",
+           "train_pcnet_multi_setup", "unstack_setups"]

@@ -160,3 +160,154 @@ def test_sharded_attack_real_resnet18_matches_single_device():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(prj_ref), np.asarray(prj_sh),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_multi_setup_train_matches_sequential_and_shards():
+    """Setup-parallel training (parallel/multi_setup.py): S independent
+    PCNets in one SPMD program must reproduce S sequential
+    train_model_scan runs, and the setup-axis sharded run must match the
+    single-device run. This is the scale-out path for the reference's
+    13-setup benchmark training phase (reproduce_paper_results.py:63-65
+    loops setups sequentially)."""
+    import optax
+
+    from spaa_tpu.models import PCNet
+    from spaa_tpu.parallel import train_pcnet_multi_setup
+    from spaa_tpu.train import compute_loss, make_pcnet_optimizer
+    from spaa_tpu.train.train import sample_batch_indices, train_model_scan
+    from spaa_tpu.utils.config import DictConfig
+
+    S, N, B, iters, curr = 2, 8, 4, 6, 2
+    cam_hw, prj_hw = (16, 24), (12, 12)
+    model = PCNet(out_size=cam_hw)
+    rng = np.random.default_rng(2)
+
+    scenes, masks, params_list, prj_tr, cam_tr = [], [], [], [], []
+    for s in range(S):
+        scene = rng.random((1, *cam_hw, 3)).astype(np.float32)
+        mask = (rng.random((*cam_hw, 1)) > 0.2).astype(np.float32)
+        prj = rng.random((N, *prj_hw, 3)).astype(np.float32)
+        cam = rng.random((N, *cam_hw, 3)).astype(np.float32)
+        p = model.init(jax.random.PRNGKey(s), jnp.asarray(prj[:1]),
+                       jnp.asarray(scene), jnp.asarray(mask))["params"]
+        scenes.append(scene); masks.append(mask); params_list.append(p)
+        prj_tr.append(prj); cam_tr.append(cam)
+
+    cfg = DictConfig(dict(lr_drop_ratio=0.2, l2_reg=1e-4,
+                          max_iters=iters, valid_rate=iters))
+    tx = make_pcnet_optimizer(cfg)
+    import random as _random
+    idx = sample_batch_indices(N, B, iters, seed_state=_random.Random(7))
+
+    # S sequential reference trainings, pipeline-style loss closures
+    def make_loss(scene, mask):
+        scene_j, mask_j = jnp.asarray(scene), jnp.asarray(mask)
+
+        def loss_fn(p, prj, cam_gt, itr):
+            infer = model.apply({"params": p}, prj, scene_j, mask_j)
+            w = (itr > curr).astype(jnp.float32)
+            return compute_loss(infer, cam_gt, "l1+ssim", ssim_weight=w)
+        return loss_fn
+
+    from spaa_tpu.train.train import _compiled_train_programs
+
+    # --- Part A: ONE-STEP equivalence vs the production step, TIGHT.
+    # Adam cannot be used for a tight param comparison at ANY horizon:
+    # its very first update is ~lr*sign(g), so a last-ulp difference in a
+    # near-zero gradient element flips the whole +-lr step (measured: six
+    # lr=1e-2 iters drift outputs by 0.045). SGD is linear in the
+    # gradient, so ulp noise stays ulp — one SGD step pins down the step
+    # math (minibatch gather, curriculum weight, loss, vmap plumbing)
+    # against the production program to 1e-5. Both curriculum branches.
+    sgd = optax.sgd(0.1)
+    for curr_a, tag in [(curr, "l1-only"), (-1, "l1+ssim")]:
+        out1, loss1, _ = train_pcnet_multi_setup(
+            model.apply, params_list, sgd, np.stack(scenes),
+            np.stack(masks), np.stack(prj_tr), np.stack(cam_tr), idx[:1],
+            curriculum_iter=curr_a)
+        for s in range(S):
+            def loss_fn(p, prj, cam_gt, itr, _s=s, _c=curr_a):
+                infer = model.apply({"params": p}, prj,
+                                    jnp.asarray(scenes[_s]),
+                                    jnp.asarray(masks[_s]))
+                w = (itr > _c).astype(jnp.float32)
+                return compute_loss(infer, cam_gt, "l1+ssim",
+                                    ssim_weight=w)
+            _, run_step = _compiled_train_programs(loss_fn, sgd)
+            p1, _, l1, _ = run_step(params_list[s], sgd.init(params_list[s]),
+                                    jnp.asarray(prj_tr[s]),
+                                    jnp.asarray(cam_tr[s]),
+                                    jnp.asarray(idx[0]),
+                                    jnp.asarray(0, jnp.int32))
+            np.testing.assert_allclose(loss1[0, s], float(l1), rtol=1e-5,
+                                       err_msg=f"{tag} setup {s} loss")
+            for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(out1[s])):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+                    err_msg=f"{tag} setup {s} one-step params")
+
+    # --- Part B: full production optimizer (3-group Adam multi-transform)
+    # over the uint8 wire path; loss trajectories vs sequential production
+    # runs, LOOSE (Adam amplifies vmapped-vs-single conv ulp noise).
+    prj_u8 = [np.round(p * 255).astype(np.uint8) for p in prj_tr]
+    cam_u8 = [np.round(c * 255).astype(np.uint8) for c in cam_tr]
+    ref_losses = []
+    for s in range(S):
+        _, run_step = _compiled_train_programs(make_loss(scenes[s],
+                                                         masks[s]), tx)
+        p, o = params_list[s], tx.init(params_list[s])
+        inp, tgt = jnp.asarray(prj_u8[s]), jnp.asarray(cam_u8[s])
+        ls = []
+        for i in range(iters):
+            p, o, loss, _ = run_step(p, o, inp, tgt, jnp.asarray(idx[i]),
+                                     jnp.asarray(i, jnp.int32))
+            ls.append(float(loss))
+        ref_losses.append(ls)
+
+    _, losses, l2s = train_pcnet_multi_setup(
+        model.apply, params_list, tx, np.stack(scenes), np.stack(masks),
+        np.stack(prj_u8), np.stack(cam_u8), idx, curriculum_iter=curr)
+    assert losses.shape == (iters, S) and np.isfinite(losses).all()
+    for s in range(S):
+        np.testing.assert_allclose(losses[:, s], ref_losses[s],
+                                   rtol=1e-3, atol=1e-6,
+                                   err_msg=f"setup {s} loss trajectory")
+
+    # --- Part C: sharded over a 2-device 'setup' mesh == single device
+    # (scan path, the TPU execution shape). shard_map re-traces on LOCAL
+    # shapes (the vmap-grouped scene convs become fgc=1 per device), so
+    # reduction orders legitimately differ at the ulp level between the
+    # sharded and single-device programs; SGD keeps that linear (tight),
+    # Adam would amplify it to O(lr) on sign-flip elements (loose).
+    mesh = make_mesh(2, axis="setup")
+    base = train_pcnet_multi_setup(
+        model.apply, params_list, sgd, np.stack(scenes), np.stack(masks),
+        np.stack(prj_tr), np.stack(cam_tr), idx, curriculum_iter=curr,
+        use_scan=True)
+    with mesh:
+        shard = train_pcnet_multi_setup(
+            model.apply, params_list, sgd, np.stack(scenes),
+            np.stack(masks), np.stack(prj_tr), np.stack(cam_tr), idx,
+            mesh=mesh, curriculum_iter=curr, use_scan=True)
+        shard_adam = train_pcnet_multi_setup(
+            model.apply, params_list, tx, np.stack(scenes),
+            np.stack(masks), np.stack(prj_u8), np.stack(cam_u8), idx,
+            mesh=mesh, curriculum_iter=curr, use_scan=True)
+    np.testing.assert_allclose(base[1], shard[1], rtol=1e-5, atol=1e-6)
+    for s in range(S):
+        for a, b in zip(jax.tree.leaves(base[0][s]),
+                        jax.tree.leaves(shard[0][s])):
+            # atol: 6 SGD steps x lr 0.1 x ~1e-7/step conv retrace noise
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+    # the production-optimizer sharded run reproduces the trajectories too
+    np.testing.assert_allclose(shard_adam[1], losses, rtol=1e-3,
+                               atol=1e-6)
+
+    # indivisible setup count is rejected
+    with pytest.raises(ValueError):
+        train_pcnet_multi_setup(
+            model.apply, params_list + params_list[:1], tx,
+            np.stack(scenes + scenes[:1]), np.stack(masks + masks[:1]),
+            np.stack(prj_tr + prj_tr[:1]), np.stack(cam_tr + cam_tr[:1]),
+            idx, mesh=mesh, curriculum_iter=curr)
