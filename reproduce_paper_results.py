@@ -48,6 +48,15 @@ def main() -> None:
     ap.add_argument("--keep-existing-imgs", action="store_true",
                     help="recompute stats but skip montages that already "
                          "exist (montage writes dominate recreate time)")
+    ap.add_argument("--multi-setup-train", action="store_true",
+                    help="train the setups' PCNets several-at-a-time as "
+                         "one SPMD program (parallel/multi_setup.py) "
+                         "before the per-setup pipeline, which then loads "
+                         "the cached checkpoints (the reference trains "
+                         "its 13 setups strictly sequentially)")
+    ap.add_argument("--multi-setup-chunk", type=int, default=None,
+                    help="setups per multi-setup training program "
+                         "(default: one per visible device)")
     args = ap.parse_args()
 
     from spaa_tpu.attack import (get_attacker_cfg, run_projector_based_attack,
@@ -90,6 +99,15 @@ def main() -> None:
                 f"No setups under {setups_dir}. Download/unpack the SPAA "
                 "benchmark dataset there, or run with --sim for a synthetic "
                 "smoke benchmark.")
+
+    if args.multi_setup_train and len(setup_list) > 1:
+        from spaa_tpu.parallel import pretrain_pcnets_multi_setup
+        from spaa_tpu.train.train import get_model_train_cfg
+        mc = get_model_train_cfg(None, data_root, setup_list)
+        mc.model_list = ["PCNet"]
+        pretrain_pcnets_multi_setup(mc, chunk=args.multi_setup_chunk)
+        # the per-setup pipeline now finds every PCNet checkpoint
+        args.load_pretrained = True
 
     attackers = ["SPAA", "PerC-AL+CompenNet++"]
     if args.sim:

@@ -22,7 +22,10 @@ is ``nn.DataParallel`` batch scatter within ONE training (SURVEY.md §2
 
 from __future__ import annotations
 
+import functools
+import os
 from functools import partial
+from os.path import join
 from typing import Callable, Optional
 
 import jax
@@ -79,6 +82,82 @@ def setup_sharding(mesh: Optional[Mesh], axis: str = "setup"):
     return NamedSharding(mesh, P(axis))
 
 
+@functools.lru_cache(maxsize=16)
+def _compiled_multi_setup_programs(model_apply, tx, loss_option: str,
+                                   curriculum_iter: int,
+                                   mesh: Optional[Mesh], axis: str,
+                                   scan: bool):
+    """Jitted multi-setup programs, memoized like
+    ``train._compiled_train_programs`` so repeat calls (bench warm-up +
+    timed run, chunked 13-setup training) hit jax's executable cache
+    instead of re-tracing fresh closures. Flax ``model.apply`` bound
+    methods and ``jax.sharding.Mesh`` hash stably; optax transforms hash
+    by the identity of their function members.
+
+    Multi-device execution goes through shard_map, NOT bare jit +
+    sharding propagation: vmap lowers the batch-1 scene convs
+    (e.g. ShadingNet's 1x1 skipConv1_0) to feature_group_count=S
+    grouped convs, and XLA's SPMD partitioner mis-shards those (kernel
+    output features split without the lhs channels — INVALID_ARGUMENT
+    at compile). shard_map sidesteps propagation entirely: each device
+    traces the per-shard program on LOCAL setups (fgc = S/n_devices)
+    and, since the trainings share nothing, emits zero collectives.
+    """
+    # vmap over the setup axis; the shared (idx, itr) stay unmapped. All
+    # big tensors are jit ARGUMENTS (iron rule: no device-array closures).
+    vstep = jax.vmap(
+        partial(_one_setup_step, model_apply, tx, loss_option,
+                curriculum_iter),
+        in_axes=(0, 0, 0, 0, 0, 0, None, None))
+
+    def step_any(inputs, targets, scenes, masks, p, o, idx, itr):
+        # ONE setup (per-device after shard_map, or a single-setup call):
+        # bypass vmap. vmap lowers every conv to a grouped conv (the
+        # setup axis folds into channels) and XLA:TPU runs those ~8-13%
+        # slower per setup at these shapes (tools/multi_setup_bench.py,
+        # RTT-amortized: 59.0 vmapped vs 54.8 squeezed vs 52 production
+        # ms/iter) — the squeeze keeps the one-setup-per-chip deployment
+        # at the sequential production step's speed.
+        if jax.tree.leaves(p)[0].shape[0] == 1:
+            sq = partial(jax.tree.map, lambda x: x[0])
+            p1, o1, loss, l2 = _one_setup_step(
+                model_apply, tx, loss_option, curriculum_iter,
+                sq(inputs), sq(targets), sq(scenes), sq(masks), sq(p),
+                sq(o), idx, itr)
+            ex = partial(jax.tree.map, lambda x: x[None])
+            return ex(p1), ex(o1), loss[None], l2[None]
+        return vstep(inputs, targets, scenes, masks, p, o, idx, itr)
+
+    def _maybe_shard_map(f, out_specs):
+        if mesh is None:
+            return jax.jit(f)
+        sp = P(axis)
+        return jax.jit(jax.shard_map(
+            f, mesh=mesh, in_specs=(sp,) * 6 + (P(), P()),
+            out_specs=out_specs))
+
+    if scan:
+        def run(params_stk, opt_stk, inputs, targets, scenes, masks,
+                idx_all, iters_all):
+            def body(carry, idx_itr):
+                p, o = carry
+                idx, itr = idx_itr
+                p, o, loss, l2 = step_any(inputs, targets, scenes,
+                                          masks, p, o, idx, itr)
+                return (p, o), (loss, l2)
+            (p, o), (losses, l2s) = jax.lax.scan(
+                body, (params_stk, opt_stk), (idx_all, iters_all))
+            return p, losses, l2s
+
+        return _maybe_shard_map(
+            run, (P(axis), P(None, axis), P(None, axis)))
+
+    return _maybe_shard_map(
+        lambda p, o, inp, tgt, sc, mk, idx, itr:
+            step_any(inp, tgt, sc, mk, p, o, idx, itr),
+        (P(axis), P(axis), P(axis), P(axis)))
+
+
 def train_pcnet_multi_setup(model_apply: Callable, params_list, tx,
                             scenes, masks, inputs, targets,
                             batch_idx: np.ndarray,
@@ -133,58 +212,23 @@ def train_pcnet_multi_setup(model_apply: Callable, params_list, tx,
         scenes, masks = put(scenes), put(masks)
         inputs, targets = put(inputs), put(targets)
 
-    # vmap over the setup axis; the shared (idx, itr) stay unmapped. All
-    # big tensors are jit ARGUMENTS (iron rule: no device-array closures).
-    vstep = jax.vmap(
-        partial(_one_setup_step, model_apply, tx, loss_option,
-                curriculum_iter),
-        in_axes=(0, 0, 0, 0, 0, 0, None, None))
-
     # 0-based iteration numbering, matching train_model_scan's
     # ``jnp.arange(it, it + n)`` (the curriculum compares ``itr > 400``
     # against the same values in both loops)
     idx_all = jnp.asarray(batch_idx)
     iters_all = jnp.arange(idx_all.shape[0], dtype=jnp.int32)
 
-    # Multi-device execution goes through shard_map, NOT bare jit +
-    # sharding propagation: vmap lowers the batch-1 scene convs
-    # (e.g. ShadingNet's 1x1 skipConv1_0) to feature_group_count=S
-    # grouped convs, and XLA's SPMD partitioner mis-shards those (kernel
-    # output features split without the lhs channels — INVALID_ARGUMENT
-    # at compile). shard_map sidesteps propagation entirely: each device
-    # traces the per-shard program on LOCAL setups (fgc = S/n_devices)
-    # and, since the trainings share nothing, emits zero collectives.
-    def _maybe_shard_map(f, out_specs):
-        if mesh is None:
-            return jax.jit(f)
-        sp = P(axis)
-        return jax.jit(jax.shard_map(
-            f, mesh=mesh, in_specs=(sp,) * 6 + (P(), P()),
-            out_specs=out_specs))
-
     if use_scan:
-        def run(params_stk, opt_stk, inputs, targets, scenes, masks,
-                idx_all, iters_all):
-            def body(carry, idx_itr):
-                p, o = carry
-                idx, itr = idx_itr
-                p, o, loss, l2 = vstep(inputs, targets, scenes, masks,
-                                       p, o, idx, itr)
-                return (p, o), (loss, l2)
-            (p, o), (losses, l2s) = jax.lax.scan(
-                body, (params_stk, opt_stk), (idx_all, iters_all))
-            return p, losses, l2s
-
-        run = _maybe_shard_map(
-            run, (P(axis), P(None, axis), P(None, axis)))
+        run = _compiled_multi_setup_programs(
+            model_apply, tx, loss_option, curriculum_iter, mesh, axis,
+            True)
         params_stk, losses, l2s = run(params_stk, opt_stk, inputs,
                                       targets, scenes, masks, idx_all,
                                       iters_all)
     else:
-        step1 = _maybe_shard_map(
-            lambda p, o, inp, tgt, sc, mk, idx, itr:
-                vstep(inp, tgt, sc, mk, p, o, idx, itr),
-            (P(axis), P(axis), P(axis), P(axis)))
+        step1 = _compiled_multi_setup_programs(
+            model_apply, tx, loss_option, curriculum_iter, mesh, axis,
+            False)
         losses, l2s = [], []
         for i in range(idx_all.shape[0]):
             params_stk, opt_stk, loss, l2 = step1(
@@ -197,3 +241,142 @@ def train_pcnet_multi_setup(model_apply: Callable, params_list, tx,
 
     return (unstack_setups(params_stk, num_setups),
             np.asarray(losses), np.asarray(l2s))
+
+
+def pretrain_pcnets_multi_setup(cfg_default, mesh="auto",
+                                chunk: Optional[int] = None):
+    """Fill the PCNet checkpoint cache for every setup in
+    ``cfg_default.setup_list``, training up to ``chunk`` setups per SPMD
+    program instead of the reference's strictly sequential loop
+    (``reproduce_paper_results.py:63-65`` → ``train_network.py:476-594``).
+
+    Checkpoints are saved under the EXACT config-string keys
+    ``train_eval_pcnet`` uses (``log.opt_to_string``), so the normal
+    per-setup pipeline afterwards loads them (run it with
+    ``load_pretrained=True``) and still produces its validation tables,
+    inferred-image dumps, and log rows.
+
+    cfg_default: the ``get_model_train_cfg(["PCNet"], ...)`` non-single
+    form. Only the benchmark's single-element model/loss/num_train lists
+    are supported — ablation grids keep the sequential path.
+    Setups are grouped by tensor shape; a group chunk that is not
+    divisible by the mesh size falls back to single-device vmap.
+
+    mesh="auto" (default) builds a 1-D setup mesh over all visible
+    devices when there is more than one; chunk=None picks the mesh size
+    (one setup per device — each device then runs the UN-vmapped
+    production step via ``step_any``'s squeeze path) or 1 on a single
+    device. Measured single-chip (tools/multi_setup_bench.py,
+    RTT-amortized 200-iter segments): stacking S>1 setups on ONE chip is
+    ~8-13% SLOWER per setup than sequential production training (vmap's
+    grouped-conv lowering; 59.0 vs 52-54.8 ms/iter) — the win is
+    strictly multi-device, where the
+    shard_map path scales the whole phase by n_devices with zero
+    collectives.
+
+    Returns a list of dicts: setup, status (trained|cached), PSNR/RMSE/SSIM
+    of the final validation (for trained setups).
+    """
+    from spaa_tpu.parallel.mesh import make_mesh
+    from spaa_tpu.train.data import as_uint8_wire, load_data
+    from spaa_tpu.train.pipeline import _build_pcnet
+    from spaa_tpu.train.train import (make_evaluator, make_pcnet_optimizer,
+                                      sample_batch_indices)
+    from spaa_tpu.utils import log as L
+    from spaa_tpu.utils.seed import reset_rng_seeds
+
+    if isinstance(mesh, str):
+        assert mesh == "auto", f"unrecognized mesh={mesh!r}"
+        n_dev = len(jax.devices())
+        mesh = make_mesh(n_dev, axis="setup") if n_dev > 1 else None
+    if chunk is None:
+        chunk = mesh.devices.size if mesh is not None else 1
+    assert chunk >= 1
+
+    for k, n in [("model_list", 1), ("num_train_list", 1), ("loss_list", 1)]:
+        assert len(cfg_default[k]) == n, \
+            f"pretrain_pcnets_multi_setup supports only single-element {k}"
+    assert cfg_default.model_list[0] == "PCNet", \
+        "only the full PCNet architecture is setup-batchable here"
+
+    data_root = cfg_default.data_root
+    ckpt_dir = join(data_root, "../checkpoint")
+    rows, jobs = [], []
+    for setup_name in cfg_default.setup_list:
+        data = load_data(data_root, setup_name)
+        cam_hw = data["cam_train"].shape[1:3]
+        num_train = min(int(cfg_default.num_train_list[0]),
+                        int(data["prj_train"].shape[0]))
+        cfg = cfg_default.copy()
+        cfg.num_train = num_train
+        cfg.batch_size = min(int(cfg.batch_size), num_train)
+        for key in ["num_train_list", "model_list", "loss_list",
+                    "setup_list"]:
+            if key in cfg:
+                del cfg[key]
+        cfg.model_name = "PCNet"
+        cfg.loss = cfg_default.loss_list[0]
+        cfg.setup_name = setup_name.replace("/", "_")
+        title = L.opt_to_string(cfg)
+        if os.path.exists(L.checkpoint_path(ckpt_dir, title)):
+            rows.append(dict(setup=setup_name, status="cached"))
+            continue
+        jobs.append(dict(setup=setup_name, data=data, cfg=cfg, title=title,
+                         key=(tuple(cam_hw), data["prj_train"].shape[1:3],
+                              num_train, int(cfg.batch_size))))
+
+    groups: dict = {}
+    for j in jobs:
+        groups.setdefault(j["key"], []).append(j)
+
+    for group in groups.values():
+        cfg = group[0]["cfg"]
+        tx = make_pcnet_optimizer(cfg)
+        for lo in range(0, len(group), chunk):
+            ch = group[lo:lo + chunk]
+            ch_mesh = mesh
+            if mesh is not None and len(ch) % mesh.devices.size != 0:
+                ch_mesh = None   # remainder chunk: single-device vmap
+            model, params_list, idx = None, [], None
+            for j in ch:
+                # per-setup determinism identical to train_eval_pcnet:
+                # reseed 123, build (affine from this setup's mask bbox),
+                # then draw the shared minibatch plan
+                key = reset_rng_seeds(123)
+                model, p = _build_pcnet("PCNet", j["key"][0],
+                                        j["data"]["mask_corners"], key)
+                params_list.append(p)
+                idx = sample_batch_indices(cfg.num_train, cfg.batch_size,
+                                           cfg.max_iters)
+            print(f"----- multi-setup training {len(ch)} setups: "
+                  f"{[j['setup'] for j in ch]} -----")
+            out_params, losses, _ = train_pcnet_multi_setup(
+                model.apply, params_list, tx,
+                np.stack([j["data"]["cam_scene"] for j in ch]),
+                np.stack([j["data"]["mask"] for j in ch]),
+                np.stack([as_uint8_wire(
+                    j["data"]["prj_train"][:cfg.num_train]) for j in ch]),
+                np.stack([as_uint8_wire(
+                    j["data"]["cam_train"][:cfg.num_train]) for j in ch]),
+                idx, mesh=ch_mesh, curriculum_iter=400)
+            if not np.isfinite(losses[-1]).all():
+                raise FloatingPointError(
+                    f"non-finite training loss in multi-setup chunk "
+                    f"{[j['setup'] for j in ch]}")
+            for s, j in enumerate(ch):
+                L.save_checkpoint(ckpt_dir, out_params[s], j["title"])
+                d, msk = j["data"], jnp.asarray(j["data"]["mask"])
+
+                def apply_fn(p, prj, scene, _m=msk):
+                    return model.apply({"params": p}, prj, scene, _m)
+
+                evaluator = make_evaluator(
+                    apply_fn, as_uint8_wire(d["prj_valid"]),
+                    as_uint8_wire(d["cam_valid"]), d["cam_scene"])
+                psnr, rmse, ssim = (float(v) for v in
+                                    evaluator(out_params[s])[:3])
+                print(f"{j['setup']}: valid PSNR {psnr:.2f} "
+                      f"RMSE {rmse:.4f} SSIM {ssim:.4f}")
+                rows.append(dict(setup=j["setup"], status="trained",
+                                 PSNR=psnr, RMSE=rmse, SSIM=ssim))
+    return rows

@@ -311,3 +311,52 @@ def test_multi_setup_train_matches_sequential_and_shards():
             np.stack(scenes + scenes[:1]), np.stack(masks + masks[:1]),
             np.stack(prj_tr + prj_tr[:1]), np.stack(cam_tr + cam_tr[:1]),
             idx, mesh=mesh, curriculum_iter=curr)
+
+
+def test_pretrain_multi_setup_fills_checkpoint_cache(tmp_path):
+    """pretrain_pcnets_multi_setup must save checkpoints under the EXACT
+    config-string keys train_eval_pcnet uses, so the per-setup pipeline
+    then loads instead of retraining (the --multi-setup-train flow in
+    reproduce_paper_results.py)."""
+    import glob
+    import os
+
+    from spaa_tpu.parallel import pretrain_pcnets_multi_setup
+    from spaa_tpu.train.pipeline import train_eval_pcnet
+    from spaa_tpu.train.train import get_model_train_cfg
+    from spaa_tpu.utils.sim_procams import DEFAULT_SIM_SETUP_INFO, SimProCams
+
+    root = str(tmp_path / "data")
+    names = ["vpt1", "vpt2"]
+    for n in names:
+        info = dict(DEFAULT_SIM_SETUP_INFO)
+        info.update(prj_im_sz=[64, 64], cam_im_sz=[64, 48],
+                    classifier_crop_sz=[48, 48])
+        SimProCams(info).make_setup(root, n, num_train=12, num_test=2)
+
+    def make_cfg(**kw):
+        mc = get_model_train_cfg(None, root, names, **kw)
+        mc.model_list = ["PCNet"]
+        mc.max_iters = 6
+        mc.valid_rate = 6
+        return mc
+
+    rows = pretrain_pcnets_multi_setup(make_cfg(), chunk=2)
+    assert [r["status"] for r in rows] == ["trained", "trained"]
+    assert all(np.isfinite(r["PSNR"]) for r in rows)
+    ckpts = glob.glob(os.path.join(root, "../checkpoint", "*.flax"))
+    assert len(ckpts) == 2
+
+    # idempotent: everything cached on the second pass
+    rows2 = pretrain_pcnets_multi_setup(make_cfg(), chunk=2)
+    assert [r["status"] for r in rows2] == ["cached", "cached"]
+
+    # key contract: the per-setup pipeline finds and LOADS the checkpoints
+    # (no retraining) and produces its usual per-setup log rows
+    mtimes = {c: os.path.getmtime(c) for c in ckpts}
+    _, ret, _ = train_eval_pcnet(make_cfg(load_pretrained=True))
+    for c, m in mtimes.items():
+        assert os.path.getmtime(c) == m, "pipeline retrained instead of loading"
+    psnr_rows = ret[ret["Setup"].isin(names)]
+    assert len(psnr_rows) == 2 and np.isfinite(
+        psnr_rows["PSNR"].to_numpy(float)).all()
