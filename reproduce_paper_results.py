@@ -101,12 +101,16 @@ def main() -> None:
                 "smoke benchmark.")
 
     if args.multi_setup_train and len(setup_list) > 1:
-        from spaa_tpu.parallel import pretrain_pcnets_multi_setup
+        from spaa_tpu.parallel import (pretrain_compennets_pp_multi_setup,
+                                       pretrain_pcnets_multi_setup)
         from spaa_tpu.train.train import get_model_train_cfg
         mc = get_model_train_cfg(None, data_root, setup_list)
         mc.model_list = ["PCNet"]
         pretrain_pcnets_multi_setup(mc, chunk=args.multi_setup_chunk)
-        # the per-setup pipeline now finds every PCNet checkpoint
+        mc = get_model_train_cfg(None, data_root, setup_list)
+        mc.model_list = ["CompenNet++"]
+        pretrain_compennets_pp_multi_setup(mc, chunk=args.multi_setup_chunk)
+        # the per-setup pipelines now find every checkpoint
         args.load_pretrained = True
 
     attackers = ["SPAA", "PerC-AL+CompenNet++"]

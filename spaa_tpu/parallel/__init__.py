@@ -1,11 +1,16 @@
 from spaa_tpu.parallel.mesh import (batch_sharding, make_mesh, replicate,
                                     replicated, shard_attack_inputs,
                                     shard_batch)
-from spaa_tpu.parallel.multi_setup import (pretrain_pcnets_multi_setup,
+from spaa_tpu.parallel.multi_setup import (pretrain_compennets_pp_multi_setup,
+                                           pretrain_pcnets_multi_setup,
                                            stack_setups,
+                                           train_compennet_pp_multi_setup,
                                            train_pcnet_multi_setup,
                                            unstack_setups)
 
-__all__ = ["batch_sharding", "make_mesh", "pretrain_pcnets_multi_setup",
-           "replicate", "replicated", "shard_attack_inputs", "shard_batch",
-           "stack_setups", "train_pcnet_multi_setup", "unstack_setups"]
+__all__ = ["batch_sharding", "make_mesh",
+           "pretrain_compennets_pp_multi_setup",
+           "pretrain_pcnets_multi_setup", "replicate", "replicated",
+           "shard_attack_inputs", "shard_batch", "stack_setups",
+           "train_compennet_pp_multi_setup", "train_pcnet_multi_setup",
+           "unstack_setups"]

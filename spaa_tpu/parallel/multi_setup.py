@@ -55,19 +55,31 @@ def _u8_to_f32(x):
 
 
 def _one_setup_step(model_apply: Callable, tx, loss_option: str,
-                    curriculum_iter: int, inputs, targets, scene, mask,
-                    params, opt_state, idx, itr):
+                    curriculum_iter: int, variant: str, inputs, targets,
+                    scene, mask, params, opt_state, idx, itr):
     """One training step of ONE setup — the same math as
-    ``train.train_model_scan``'s step with the pipeline's PCNet loss
-    (scene stays [1, H, W, 3]; curriculum l1→l1+ssim at
-    ``curriculum_iter``, ref ``train_network.py:299-303``)."""
+    ``train.train_model_scan``'s step with the pipeline's loss for
+    ``variant``:
+
+    - ``"pcnet"``: ``apply(vars, prj, scene, mask)`` + curriculum
+      l1→l1+ssim at ``curriculum_iter`` (ref ``train_network.py:299-303``)
+    - ``"compennet_pp"``: ``apply(vars, cam, scene)`` (no mask argument,
+      no curriculum — ref ``train_network.py:131-160``); ``mask`` is a
+      dummy placeholder so both variants share the program plumbing.
+
+    scene stays [1, H, W, 3] in both (the scene-only conv chains run on
+    ONE image)."""
     x = _u8_to_f32(jnp.take(inputs, idx, axis=0))
     y = _u8_to_f32(jnp.take(targets, idx, axis=0))
 
     def loss_fn(p):
-        infer = model_apply({"params": p}, x, scene, mask)
-        w = (itr > curriculum_iter).astype(jnp.float32)
-        return compute_loss(infer, y, loss_option, ssim_weight=w)
+        if variant == "pcnet":
+            infer = model_apply({"params": p}, x, scene, mask)
+            w = (itr > curriculum_iter).astype(jnp.float32)
+            return compute_loss(infer, y, loss_option, ssim_weight=w)
+        assert variant == "compennet_pp", variant
+        infer = model_apply({"params": p}, x, scene)
+        return compute_loss(infer, y, loss_option)
 
     (loss, l2), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
     updates, opt_state = tx.update(grads, opt_state, params)
@@ -84,7 +96,7 @@ def setup_sharding(mesh: Optional[Mesh], axis: str = "setup"):
 
 @functools.lru_cache(maxsize=16)
 def _compiled_multi_setup_programs(model_apply, tx, loss_option: str,
-                                   curriculum_iter: int,
+                                   curriculum_iter: int, variant: str,
                                    mesh: Optional[Mesh], axis: str,
                                    scan: bool):
     """Jitted multi-setup programs, memoized like
@@ -107,7 +119,7 @@ def _compiled_multi_setup_programs(model_apply, tx, loss_option: str,
     # big tensors are jit ARGUMENTS (iron rule: no device-array closures).
     vstep = jax.vmap(
         partial(_one_setup_step, model_apply, tx, loss_option,
-                curriculum_iter),
+                curriculum_iter, variant),
         in_axes=(0, 0, 0, 0, 0, 0, None, None))
 
     def step_any(inputs, targets, scenes, masks, p, o, idx, itr):
@@ -121,7 +133,7 @@ def _compiled_multi_setup_programs(model_apply, tx, loss_option: str,
         if jax.tree.leaves(p)[0].shape[0] == 1:
             sq = partial(jax.tree.map, lambda x: x[0])
             p1, o1, loss, l2 = _one_setup_step(
-                model_apply, tx, loss_option, curriculum_iter,
+                model_apply, tx, loss_option, curriculum_iter, variant,
                 sq(inputs), sq(targets), sq(scenes), sq(masks), sq(p),
                 sq(o), idx, itr)
             ex = partial(jax.tree.map, lambda x: x[None])
@@ -165,7 +177,8 @@ def train_pcnet_multi_setup(model_apply: Callable, params_list, tx,
                             axis: str = "setup",
                             loss_option: str = "l1+ssim",
                             curriculum_iter: int = 400,
-                            use_scan: Optional[bool] = None):
+                            use_scan: Optional[bool] = None,
+                            variant: str = "pcnet"):
     """Train S independent PCNets as one SPMD program.
 
     model_apply: the shared Flax apply, ``model.apply(vars, prj, scene,
@@ -220,15 +233,15 @@ def train_pcnet_multi_setup(model_apply: Callable, params_list, tx,
 
     if use_scan:
         run = _compiled_multi_setup_programs(
-            model_apply, tx, loss_option, curriculum_iter, mesh, axis,
-            True)
+            model_apply, tx, loss_option, curriculum_iter, variant,
+            mesh, axis, True)
         params_stk, losses, l2s = run(params_stk, opt_stk, inputs,
                                       targets, scenes, masks, idx_all,
                                       iters_all)
     else:
         step1 = _compiled_multi_setup_programs(
-            model_apply, tx, loss_option, curriculum_iter, mesh, axis,
-            False)
+            model_apply, tx, loss_option, curriculum_iter, variant,
+            mesh, axis, False)
         losses, l2s = [], []
         for i in range(idx_all.shape[0]):
             params_stk, opt_stk, loss, l2 = step1(
@@ -373,6 +386,147 @@ def pretrain_pcnets_multi_setup(cfg_default, mesh="auto",
                 evaluator = make_evaluator(
                     apply_fn, as_uint8_wire(d["prj_valid"]),
                     as_uint8_wire(d["cam_valid"]), d["cam_scene"])
+                psnr, rmse, ssim = (float(v) for v in
+                                    evaluator(out_params[s])[:3])
+                print(f"{j['setup']}: valid PSNR {psnr:.2f} "
+                      f"RMSE {rmse:.4f} SSIM {ssim:.4f}")
+                rows.append(dict(setup=j["setup"], status="trained",
+                                 PSNR=psnr, RMSE=rmse, SSIM=ssim))
+    return rows
+
+
+def train_compennet_pp_multi_setup(model_apply: Callable, params_list, tx,
+                                   scenes, inputs, targets,
+                                   batch_idx: np.ndarray,
+                                   mesh: Optional[Mesh] = None,
+                                   axis: str = "setup",
+                                   loss_option: str = "l1+ssim",
+                                   use_scan: Optional[bool] = None):
+    """CompenNet++ flavor of :func:`train_pcnet_multi_setup`:
+    ``apply(vars, cam, scene)`` (no mask), no SSIM curriculum, inputs =
+    camera captures / targets = projector ground truth (the compensation
+    direction, ref ``train_network.py:597-733``)."""
+    masks = np.zeros((len(params_list), 1, 1, 1), np.float32)  # placeholder
+    return train_pcnet_multi_setup(
+        model_apply, params_list, tx, scenes, masks, inputs, targets,
+        batch_idx, mesh=mesh, axis=axis, loss_option=loss_option,
+        use_scan=use_scan, variant="compennet_pp")
+
+
+def pretrain_compennets_pp_multi_setup(cfg_default, mesh="auto",
+                                       chunk: Optional[int] = None):
+    """CompenNet++ twin of :func:`pretrain_pcnets_multi_setup`: fill the
+    CompenNet++ checkpoint cache several setups per SPMD program, under
+    ``train_eval_compennet_pp``'s exact config-string keys (ref sequential
+    loop ``train_network.py:597-733``). The shared CompenNet init
+    pretraining (``init_compennet``) runs/loads ONCE up front, exactly as
+    the sequential pipeline does."""
+    from spaa_tpu.parallel.mesh import make_mesh
+    from spaa_tpu.train.data import as_uint8_wire, load_data
+    from spaa_tpu.train.pipeline import _set_affine, init_compennet
+    from spaa_tpu.train.train import (make_compennet_pp_optimizer,
+                                      make_evaluator, sample_batch_indices)
+    from spaa_tpu.models import CompenNetPlusplus
+    from spaa_tpu.utils import log as L
+    from spaa_tpu.utils.jaxtools import host_init
+    from spaa_tpu.utils.seed import reset_rng_seeds
+
+    if isinstance(mesh, str):
+        assert mesh == "auto", f"unrecognized mesh={mesh!r}"
+        n_dev = len(jax.devices())
+        mesh = make_mesh(n_dev, axis="setup") if n_dev > 1 else None
+    if chunk is None:
+        chunk = mesh.devices.size if mesh is not None else 1
+    assert chunk >= 1
+
+    for k, n in [("model_list", 1), ("num_train_list", 1), ("loss_list", 1)]:
+        assert len(cfg_default[k]) == n, \
+            f"pretrain_compennets_pp_multi_setup supports only " \
+            f"single-element {k}"
+    assert cfg_default.model_list[0] == "CompenNet++", \
+        "only the full CompenNet++ architecture is setup-batchable here"
+
+    data_root = cfg_default.data_root
+    ckpt_dir = join(data_root, "../checkpoint")
+    _, compen_params = init_compennet(data_root, cfg_default)
+
+    rows, jobs = [], []
+    for setup_name in cfg_default.setup_list:
+        data = load_data(data_root, setup_name)
+        prj_hw = data["prj_train"].shape[1:3]
+        num_train = min(int(cfg_default.num_train_list[0]),
+                        int(data["prj_train"].shape[0]))
+        cfg = cfg_default.copy()
+        cfg.num_train = num_train
+        cfg.batch_size = min(int(cfg.batch_size), num_train)
+        for key in ["num_train_list", "model_list", "loss_list",
+                    "setup_list"]:
+            if key in cfg:
+                del cfg[key]
+        cfg.model_name = "CompenNet++"
+        cfg.loss = cfg_default.loss_list[0]
+        cfg.setup_name = setup_name.replace("/", "_")
+        title = L.opt_to_string(cfg)
+        if os.path.exists(L.checkpoint_path(ckpt_dir, title)):
+            rows.append(dict(setup=setup_name, status="cached"))
+            continue
+        jobs.append(dict(setup=setup_name, data=data, cfg=cfg, title=title,
+                         key=(data["cam_train"].shape[1:3], tuple(prj_hw),
+                              num_train, int(cfg.batch_size))))
+
+    groups: dict = {}
+    for j in jobs:
+        groups.setdefault(j["key"], []).append(j)
+
+    for group in groups.values():
+        cfg = group[0]["cfg"]
+        tx = make_compennet_pp_optimizer(cfg)
+        for lo in range(0, len(group), chunk):
+            ch = group[lo:lo + chunk]
+            ch_mesh = mesh
+            if mesh is not None and len(ch) % mesh.devices.size != 0:
+                ch_mesh = None   # remainder chunk: single-device vmap
+            model, params_list, idx = None, [], None
+            for j in ch:
+                # identical to train_eval_compennet_pp: reseed 0, init,
+                # INVERSE affine from this setup's mask bbox (documented
+                # fix of the reference's copied forward-affine init),
+                # splice the shared pretrained CompenNet
+                reset_rng_seeds(0)
+                model = CompenNetPlusplus(out_size=tuple(j["key"][1]))
+                cam_hw3 = (1, *j["key"][0], 3)
+                p = host_init(lambda: model.init(
+                    jax.random.PRNGKey(0), jnp.zeros(cam_hw3),
+                    jnp.zeros(cam_hw3))["params"])
+                p = _set_affine(p, j["data"]["mask_corners"], inverse=True)
+                p["compen_net"] = compen_params
+                params_list.append(p)
+                idx = sample_batch_indices(cfg.num_train, cfg.batch_size,
+                                           cfg.max_iters)
+            print(f"----- multi-setup training {len(ch)} CompenNet++: "
+                  f"{[j['setup'] for j in ch]} -----")
+            out_params, losses, _ = train_compennet_pp_multi_setup(
+                model.apply, params_list, tx,
+                np.stack([j["data"]["cam_scene"] for j in ch]),
+                np.stack([as_uint8_wire(
+                    j["data"]["cam_train"][:cfg.num_train]) for j in ch]),
+                np.stack([as_uint8_wire(
+                    j["data"]["prj_train"][:cfg.num_train]) for j in ch]),
+                idx, mesh=ch_mesh, loss_option=cfg.loss)
+            if not np.isfinite(losses[-1]).all():
+                raise FloatingPointError(
+                    f"non-finite training loss in multi-setup chunk "
+                    f"{[j['setup'] for j in ch]}")
+            for s, j in enumerate(ch):
+                L.save_checkpoint(ckpt_dir, out_params[s], j["title"])
+                d = j["data"]
+
+                def apply_fn(p, cam, scene):
+                    return model.apply({"params": p}, cam, scene)
+
+                evaluator = make_evaluator(
+                    apply_fn, as_uint8_wire(d["cam_valid"]),
+                    as_uint8_wire(d["prj_valid"]), d["cam_scene"])
                 psnr, rmse, ssim = (float(v) for v in
                                     evaluator(out_params[s])[:3])
                 print(f"{j['setup']}: valid PSNR {psnr:.2f} "

@@ -360,3 +360,52 @@ def test_pretrain_multi_setup_fills_checkpoint_cache(tmp_path):
     psnr_rows = ret[ret["Setup"].isin(names)]
     assert len(psnr_rows) == 2 and np.isfinite(
         psnr_rows["PSNR"].to_numpy(float)).all()
+
+
+def test_pretrain_compennet_pp_multi_setup_fills_checkpoint_cache(tmp_path):
+    """CompenNet++ twin of the PCNet contract test: shared CompenNet init
+    runs once, per-setup checkpoints land under train_eval_compennet_pp's
+    exact keys, and the pipeline then loads instead of retraining."""
+    import glob
+    import os
+
+    from spaa_tpu.parallel import pretrain_compennets_pp_multi_setup
+    from spaa_tpu.train.pipeline import train_eval_compennet_pp
+    from spaa_tpu.train.train import get_model_train_cfg
+    from spaa_tpu.utils.sim_procams import DEFAULT_SIM_SETUP_INFO, SimProCams
+
+    root = str(tmp_path / "data")
+    names = ["vcp1", "vcp2"]
+    for n in names:
+        info = dict(DEFAULT_SIM_SETUP_INFO)
+        info.update(prj_im_sz=[64, 64], cam_im_sz=[64, 48],
+                    classifier_crop_sz=[48, 48])
+        SimProCams(info).make_setup(root, n, num_train=12, num_test=2)
+
+    def make_cfg(**kw):
+        mc = get_model_train_cfg(None, root, names, **kw)
+        mc.model_list = ["CompenNet++"]
+        mc.max_iters = 6
+        mc.valid_rate = 6
+        mc.init_max_iters = 4
+        return mc
+
+    rows = pretrain_compennets_pp_multi_setup(make_cfg(), chunk=2)
+    assert [r["status"] for r in rows] == ["trained", "trained"]
+    assert all(np.isfinite(r["PSNR"]) for r in rows)
+    # per-setup CompenNet++ checkpoints + the shared CompenNet init
+    ckpts = sorted(glob.glob(os.path.join(root, "../checkpoint", "*.flax")))
+    names_on_disk = [os.path.basename(c) for c in ckpts]
+    assert sum("CompenNet++" in n for n in names_on_disk) == 2
+    assert sum(n.startswith("init_CompenNet_") for n in names_on_disk) == 1
+
+    rows2 = pretrain_compennets_pp_multi_setup(make_cfg(), chunk=2)
+    assert [r["status"] for r in rows2] == ["cached", "cached"]
+
+    mtimes = {c: os.path.getmtime(c) for c in ckpts}
+    _, ret, _ = train_eval_compennet_pp(make_cfg(load_pretrained=True))
+    for c, m in mtimes.items():
+        assert os.path.getmtime(c) == m, "pipeline retrained instead of loading"
+    psnr_rows = ret[ret["Setup"].isin(names)]
+    assert len(psnr_rows) == 2 and np.isfinite(
+        psnr_rows["PSNR"].to_numpy(float)).all()
