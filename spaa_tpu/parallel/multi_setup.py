@@ -283,116 +283,13 @@ def pretrain_pcnets_multi_setup(cfg_default, mesh="auto",
     RTT-amortized 200-iter segments): stacking S>1 setups on ONE chip is
     ~8-13% SLOWER per setup than sequential production training (vmap's
     grouped-conv lowering; 59.0 vs 52-54.8 ms/iter) — the win is
-    strictly multi-device, where the
-    shard_map path scales the whole phase by n_devices with zero
-    collectives.
+    strictly multi-device, where the shard_map path scales the whole
+    phase by n_devices with zero collectives.
 
     Returns a list of dicts: setup, status (trained|cached), PSNR/RMSE/SSIM
     of the final validation (for trained setups).
     """
-    from spaa_tpu.parallel.mesh import make_mesh
-    from spaa_tpu.train.data import as_uint8_wire, load_data
-    from spaa_tpu.train.pipeline import _build_pcnet
-    from spaa_tpu.train.train import (make_evaluator, make_pcnet_optimizer,
-                                      sample_batch_indices)
-    from spaa_tpu.utils import log as L
-    from spaa_tpu.utils.seed import reset_rng_seeds
-
-    if isinstance(mesh, str):
-        assert mesh == "auto", f"unrecognized mesh={mesh!r}"
-        n_dev = len(jax.devices())
-        mesh = make_mesh(n_dev, axis="setup") if n_dev > 1 else None
-    if chunk is None:
-        chunk = mesh.devices.size if mesh is not None else 1
-    assert chunk >= 1
-
-    for k, n in [("model_list", 1), ("num_train_list", 1), ("loss_list", 1)]:
-        assert len(cfg_default[k]) == n, \
-            f"pretrain_pcnets_multi_setup supports only single-element {k}"
-    assert cfg_default.model_list[0] == "PCNet", \
-        "only the full PCNet architecture is setup-batchable here"
-
-    data_root = cfg_default.data_root
-    ckpt_dir = join(data_root, "../checkpoint")
-    rows, jobs = [], []
-    for setup_name in cfg_default.setup_list:
-        data = load_data(data_root, setup_name)
-        cam_hw = data["cam_train"].shape[1:3]
-        num_train = min(int(cfg_default.num_train_list[0]),
-                        int(data["prj_train"].shape[0]))
-        cfg = cfg_default.copy()
-        cfg.num_train = num_train
-        cfg.batch_size = min(int(cfg.batch_size), num_train)
-        for key in ["num_train_list", "model_list", "loss_list",
-                    "setup_list"]:
-            if key in cfg:
-                del cfg[key]
-        cfg.model_name = "PCNet"
-        cfg.loss = cfg_default.loss_list[0]
-        cfg.setup_name = setup_name.replace("/", "_")
-        title = L.opt_to_string(cfg)
-        if os.path.exists(L.checkpoint_path(ckpt_dir, title)):
-            rows.append(dict(setup=setup_name, status="cached"))
-            continue
-        jobs.append(dict(setup=setup_name, data=data, cfg=cfg, title=title,
-                         key=(tuple(cam_hw), data["prj_train"].shape[1:3],
-                              num_train, int(cfg.batch_size))))
-
-    groups: dict = {}
-    for j in jobs:
-        groups.setdefault(j["key"], []).append(j)
-
-    for group in groups.values():
-        cfg = group[0]["cfg"]
-        tx = make_pcnet_optimizer(cfg)
-        for lo in range(0, len(group), chunk):
-            ch = group[lo:lo + chunk]
-            ch_mesh = mesh
-            if mesh is not None and len(ch) % mesh.devices.size != 0:
-                ch_mesh = None   # remainder chunk: single-device vmap
-            model, params_list, idx = None, [], None
-            for j in ch:
-                # per-setup determinism identical to train_eval_pcnet:
-                # reseed 123, build (affine from this setup's mask bbox),
-                # then draw the shared minibatch plan
-                key = reset_rng_seeds(123)
-                model, p = _build_pcnet("PCNet", j["key"][0],
-                                        j["data"]["mask_corners"], key)
-                params_list.append(p)
-                idx = sample_batch_indices(cfg.num_train, cfg.batch_size,
-                                           cfg.max_iters)
-            print(f"----- multi-setup training {len(ch)} setups: "
-                  f"{[j['setup'] for j in ch]} -----")
-            out_params, losses, _ = train_pcnet_multi_setup(
-                model.apply, params_list, tx,
-                np.stack([j["data"]["cam_scene"] for j in ch]),
-                np.stack([j["data"]["mask"] for j in ch]),
-                np.stack([as_uint8_wire(
-                    j["data"]["prj_train"][:cfg.num_train]) for j in ch]),
-                np.stack([as_uint8_wire(
-                    j["data"]["cam_train"][:cfg.num_train]) for j in ch]),
-                idx, mesh=ch_mesh, curriculum_iter=400)
-            if not np.isfinite(losses[-1]).all():
-                raise FloatingPointError(
-                    f"non-finite training loss in multi-setup chunk "
-                    f"{[j['setup'] for j in ch]}")
-            for s, j in enumerate(ch):
-                L.save_checkpoint(ckpt_dir, out_params[s], j["title"])
-                d, msk = j["data"], jnp.asarray(j["data"]["mask"])
-
-                def apply_fn(p, prj, scene, _m=msk):
-                    return model.apply({"params": p}, prj, scene, _m)
-
-                evaluator = make_evaluator(
-                    apply_fn, as_uint8_wire(d["prj_valid"]),
-                    as_uint8_wire(d["cam_valid"]), d["cam_scene"])
-                psnr, rmse, ssim = (float(v) for v in
-                                    evaluator(out_params[s])[:3])
-                print(f"{j['setup']}: valid PSNR {psnr:.2f} "
-                      f"RMSE {rmse:.4f} SSIM {ssim:.4f}")
-                rows.append(dict(setup=j["setup"], status="trained",
-                                 PSNR=psnr, RMSE=rmse, SSIM=ssim))
-    return rows
+    return _pretrain_multi_setup(cfg_default, mesh, chunk, "PCNet")
 
 
 def train_compennet_pp_multi_setup(model_apply: Callable, params_list, tx,
@@ -421,15 +318,25 @@ def pretrain_compennets_pp_multi_setup(cfg_default, mesh="auto",
     loop ``train_network.py:597-733``). The shared CompenNet init
     pretraining (``init_compennet``) runs/loads ONCE up front, exactly as
     the sequential pipeline does."""
+    return _pretrain_multi_setup(cfg_default, mesh, chunk, "CompenNet++")
+
+
+def _pretrain_multi_setup(cfg_default, mesh, chunk, model_name: str):
+    """Shared scaffold of the two cache fillers. The four per-model
+    divergences (optimizer factory, per-setup init, train direction,
+    eval direction) branch on ``model_name``; everything else — skip
+    already-cached setups, group by tensor shape, chunk to the mesh,
+    save under the pipeline's config-string key, final validation — is
+    identical."""
     from spaa_tpu.parallel.mesh import make_mesh
     from spaa_tpu.train.data import as_uint8_wire, load_data
-    from spaa_tpu.train.pipeline import _set_affine, init_compennet
     from spaa_tpu.train.train import (make_compennet_pp_optimizer,
-                                      make_evaluator, sample_batch_indices)
-    from spaa_tpu.models import CompenNetPlusplus
+                                      make_evaluator, make_pcnet_optimizer,
+                                      sample_batch_indices)
     from spaa_tpu.utils import log as L
-    from spaa_tpu.utils.jaxtools import host_init
     from spaa_tpu.utils.seed import reset_rng_seeds
+
+    is_pcnet = model_name == "PCNet"
 
     if isinstance(mesh, str):
         assert mesh == "auto", f"unrecognized mesh={mesh!r}"
@@ -441,19 +348,19 @@ def pretrain_compennets_pp_multi_setup(cfg_default, mesh="auto",
 
     for k, n in [("model_list", 1), ("num_train_list", 1), ("loss_list", 1)]:
         assert len(cfg_default[k]) == n, \
-            f"pretrain_compennets_pp_multi_setup supports only " \
-            f"single-element {k}"
-    assert cfg_default.model_list[0] == "CompenNet++", \
-        "only the full CompenNet++ architecture is setup-batchable here"
+            f"multi-setup pretraining supports only single-element {k}"
+    assert cfg_default.model_list[0] == model_name, \
+        f"only the full {model_name} architecture is setup-batchable here"
 
     data_root = cfg_default.data_root
     ckpt_dir = join(data_root, "../checkpoint")
-    _, compen_params = init_compennet(data_root, cfg_default)
+    if not is_pcnet:
+        from spaa_tpu.train.pipeline import init_compennet
+        _, compen_params = init_compennet(data_root, cfg_default)
 
     rows, jobs = [], []
     for setup_name in cfg_default.setup_list:
         data = load_data(data_root, setup_name)
-        prj_hw = data["prj_train"].shape[1:3]
         num_train = min(int(cfg_default.num_train_list[0]),
                         int(data["prj_train"].shape[0]))
         cfg = cfg_default.copy()
@@ -463,7 +370,7 @@ def pretrain_compennets_pp_multi_setup(cfg_default, mesh="auto",
                     "setup_list"]:
             if key in cfg:
                 del cfg[key]
-        cfg.model_name = "CompenNet++"
+        cfg.model_name = model_name
         cfg.loss = cfg_default.loss_list[0]
         cfg.setup_name = setup_name.replace("/", "_")
         title = L.opt_to_string(cfg)
@@ -471,7 +378,8 @@ def pretrain_compennets_pp_multi_setup(cfg_default, mesh="auto",
             rows.append(dict(setup=setup_name, status="cached"))
             continue
         jobs.append(dict(setup=setup_name, data=data, cfg=cfg, title=title,
-                         key=(data["cam_train"].shape[1:3], tuple(prj_hw),
+                         key=(data["cam_train"].shape[1:3],
+                              data["prj_train"].shape[1:3],
                               num_train, int(cfg.batch_size))))
 
     groups: dict = {}
@@ -480,7 +388,8 @@ def pretrain_compennets_pp_multi_setup(cfg_default, mesh="auto",
 
     for group in groups.values():
         cfg = group[0]["cfg"]
-        tx = make_compennet_pp_optimizer(cfg)
+        tx = (make_pcnet_optimizer(cfg) if is_pcnet
+              else make_compennet_pp_optimizer(cfg))
         for lo in range(0, len(group), chunk):
             ch = group[lo:lo + chunk]
             ch_mesh = mesh
@@ -488,31 +397,53 @@ def pretrain_compennets_pp_multi_setup(cfg_default, mesh="auto",
                 ch_mesh = None   # remainder chunk: single-device vmap
             model, params_list, idx = None, [], None
             for j in ch:
-                # identical to train_eval_compennet_pp: reseed 0, init,
-                # INVERSE affine from this setup's mask bbox (documented
-                # fix of the reference's copied forward-affine init),
-                # splice the shared pretrained CompenNet
-                reset_rng_seeds(0)
-                model = CompenNetPlusplus(out_size=tuple(j["key"][1]))
-                cam_hw3 = (1, *j["key"][0], 3)
-                p = host_init(lambda: model.init(
-                    jax.random.PRNGKey(0), jnp.zeros(cam_hw3),
-                    jnp.zeros(cam_hw3))["params"])
-                p = _set_affine(p, j["data"]["mask_corners"], inverse=True)
-                p["compen_net"] = compen_params
+                cam_hw, prj_hw = j["key"][0], j["key"][1]
+                if is_pcnet:
+                    # per-setup determinism identical to train_eval_pcnet:
+                    # reseed 123, build (affine from this setup's mask
+                    # bbox), then draw the shared minibatch plan
+                    from spaa_tpu.train.pipeline import _build_pcnet
+                    key = reset_rng_seeds(123)
+                    model, p = _build_pcnet("PCNet", cam_hw,
+                                            j["data"]["mask_corners"], key)
+                else:
+                    # identical to train_eval_compennet_pp: reseed 0,
+                    # init, INVERSE affine from this setup's mask bbox
+                    # (documented fix of the reference's copied
+                    # forward-affine init), splice the shared pretrained
+                    # CompenNet
+                    from spaa_tpu.models import CompenNetPlusplus
+                    from spaa_tpu.train.pipeline import _set_affine
+                    from spaa_tpu.utils.jaxtools import host_init
+                    reset_rng_seeds(0)
+                    model = CompenNetPlusplus(out_size=tuple(prj_hw))
+                    cam_hw3 = (1, *cam_hw, 3)
+                    p = host_init(lambda: model.init(
+                        jax.random.PRNGKey(0), jnp.zeros(cam_hw3),
+                        jnp.zeros(cam_hw3))["params"])
+                    p = _set_affine(p, j["data"]["mask_corners"],
+                                    inverse=True)
+                    p["compen_net"] = compen_params
                 params_list.append(p)
                 idx = sample_batch_indices(cfg.num_train, cfg.batch_size,
                                            cfg.max_iters)
-            print(f"----- multi-setup training {len(ch)} CompenNet++: "
+            print(f"----- multi-setup training {len(ch)} {model_name}: "
                   f"{[j['setup'] for j in ch]} -----")
-            out_params, losses, _ = train_compennet_pp_multi_setup(
-                model.apply, params_list, tx,
-                np.stack([j["data"]["cam_scene"] for j in ch]),
-                np.stack([as_uint8_wire(
-                    j["data"]["cam_train"][:cfg.num_train]) for j in ch]),
-                np.stack([as_uint8_wire(
-                    j["data"]["prj_train"][:cfg.num_train]) for j in ch]),
-                idx, mesh=ch_mesh, loss_option=cfg.loss)
+            scenes = np.stack([j["data"]["cam_scene"] for j in ch])
+            prj = np.stack([as_uint8_wire(
+                j["data"]["prj_train"][:cfg.num_train]) for j in ch])
+            cam = np.stack([as_uint8_wire(
+                j["data"]["cam_train"][:cfg.num_train]) for j in ch])
+            if is_pcnet:
+                out_params, losses, _ = train_pcnet_multi_setup(
+                    model.apply, params_list, tx, scenes,
+                    np.stack([j["data"]["mask"] for j in ch]),
+                    prj, cam, idx, mesh=ch_mesh, curriculum_iter=400,
+                    loss_option=cfg.loss)
+            else:                          # compensation direction
+                out_params, losses, _ = train_compennet_pp_multi_setup(
+                    model.apply, params_list, tx, scenes, cam, prj, idx,
+                    mesh=ch_mesh, loss_option=cfg.loss)
             if not np.isfinite(losses[-1]).all():
                 raise FloatingPointError(
                     f"non-finite training loss in multi-setup chunk "
@@ -520,13 +451,19 @@ def pretrain_compennets_pp_multi_setup(cfg_default, mesh="auto",
             for s, j in enumerate(ch):
                 L.save_checkpoint(ckpt_dir, out_params[s], j["title"])
                 d = j["data"]
+                if is_pcnet:
+                    msk = jnp.asarray(d["mask"])
 
-                def apply_fn(p, cam, scene):
-                    return model.apply({"params": p}, cam, scene)
-
-                evaluator = make_evaluator(
-                    apply_fn, as_uint8_wire(d["cam_valid"]),
-                    as_uint8_wire(d["prj_valid"]), d["cam_scene"])
+                    def apply_fn(p, x, scene, _m=msk, _model=model):
+                        return _model.apply({"params": p}, x, scene, _m)
+                    v_in, v_gt = d["prj_valid"], d["cam_valid"]
+                else:
+                    def apply_fn(p, x, scene, _model=model):
+                        return _model.apply({"params": p}, x, scene)
+                    v_in, v_gt = d["cam_valid"], d["prj_valid"]
+                evaluator = make_evaluator(apply_fn, as_uint8_wire(v_in),
+                                           as_uint8_wire(v_gt),
+                                           d["cam_scene"])
                 psnr, rmse, ssim = (float(v) for v in
                                     evaluator(out_params[s])[:3])
                 print(f"{j['setup']}: valid PSNR {psnr:.2f} "
