@@ -57,6 +57,11 @@ def main() -> None:
     ap.add_argument("--multi-setup-chunk", type=int, default=None,
                     help="setups per multi-setup training program "
                          "(default: one per visible device)")
+    ap.add_argument("--multi-setup-attack", action="store_true",
+                    help="run the SPAA sweeps mesh-size setups at a time "
+                         "as one shard_map program per wave "
+                         "(parallel.run_spaa_attack_multi_setup; same "
+                         "outputs as the sequential driver)")
     args = ap.parse_args()
 
     from spaa_tpu.attack import (get_attacker_cfg, run_projector_based_attack,
@@ -131,7 +136,12 @@ def main() -> None:
             # SPAA/PerC-AL attack through the frozen simulator model only;
             # procams matters at replay, where each sim setup is its own
             # deterministic "world"
-            run_projector_based_attack(cfg, procams=procams)
+            if (attacker_name == "SPAA" and args.multi_setup_attack
+                    and len(setup_list) > 1):
+                from spaa_tpu.parallel import run_spaa_attack_multi_setup
+                run_spaa_attack_multi_setup(cfg)
+            else:
+                run_projector_based_attack(cfg, procams=procams)
             if procams is not None:
                 from spaa_tpu.attack import project_capture_real_attack
                 for s in setup_list:

@@ -336,17 +336,11 @@ def make_pcnet_fn(trained, use_pallas_warp: Optional[bool] = None,
     return pcnet_apply, state
 
 
-def _run_spaa_sweep(cfg, trained, classifier, cam_scene, target_idx,
-                    true_idx, setup_info, setup_path, attacker_cfg_str,
-                    classifier_name, imagenet_labels):
-    """All (stealth_loss × d_thr) configs × (1 untargeted + 10 targeted) as
-    ONE batched attack, then unpack into the reference directory layout."""
-    cp_sz = tuple(int(c) for c in setup_info["classifier_crop_sz"])
-    compute_dtype = cfg.get(
-        "attack_dtype",
-        "bfloat16" if jax.default_backend() == "tpu" else "float32")
-    pcnet_apply, pcnet_state = make_pcnet_fn(trained,
-                                             compute_dtype=compute_dtype)
+def make_attack_logits_fn(classifier, cp_sz, compute_dtype):
+    """Classifier forward for the attack loops: crop to ``cp_sz``, compute
+    in ``compute_dtype`` (bf16 on TPU), raw f32 logits out. Returns
+    ``(logits_fn, clf_params)`` with the params pre-cast to the compute
+    dtype (params are jit arguments, never closures)."""
     logits_fn_inner = make_logits_fn(classifier.name)
     cdtype = jnp.dtype(compute_dtype)
     clf_params = classifier.params
@@ -359,6 +353,19 @@ def _run_spaa_sweep(cfg, trained, classifier, cam_scene, target_idx,
         return logits_fn_inner(params, im.astype(cdtype),
                                cp_sz).astype(jnp.float32)
 
+    return logits_fn, clf_params
+
+
+def build_spaa_sweep_arrays(cfg, setup_info, target_idx, true_idx):
+    """Per-sample arrays of the fused (stealth_loss × d_thr) SPAA sweep:
+    the batch layout contract shared by the sequential driver
+    (:func:`_run_spaa_sweep`) and the setup-parallel deployment path
+    (:func:`spaa_tpu.parallel.run_spaa_attack_multi_setup`).
+
+    Returns ``(configs, per_cfg, prj_init, tgt, targeted, w, dt,
+    spaa_cfg)`` — config ci occupies batch rows ``[ci*per_cfg,
+    (ci+1)*per_cfg)`` as ``n`` targeted samples then 1 untargeted
+    (ref ``projector_based_attack.py:79-81,136-139``)."""
     configs = [(sl, d) for sl in cfg.stealth_losses for d in cfg.d_threshes]
     # camdE-active configs last (stable sort): the CIEDE2000 chain — the
     # most expensive color term — then runs on one static contiguous batch
@@ -372,7 +379,8 @@ def _run_spaa_sweep(cfg, trained, classifier, cam_scene, target_idx,
     camde_range = ((len(configs) - n_camde) * per_cfg, b)
 
     ph, pw = setup_info["prj_im_sz"][1], setup_info["prj_im_sz"][0]
-    prj_init = jnp.full((b, ph, pw, 3), float(setup_info["prj_brightness"]))
+    prj_init = np.full((b, ph, pw, 3), float(setup_info["prj_brightness"]),
+                       np.float32)
     tgt = np.zeros(b, np.int32)
     targeted = np.zeros(b, bool)
     w = np.zeros((b, 3), np.float32)
@@ -388,25 +396,49 @@ def _run_spaa_sweep(cfg, trained, classifier, cam_scene, target_idx,
 
     spaa_cfg = SpaaConfig(iters=int(cfg.get("attack_iters", 50)),
                           camde_range=camde_range)
-    cam_best, prj_best = spaa_attack_auto(
-        pcnet_apply, logits_fn, pcnet_state, clf_params,
-        jnp.asarray(cam_scene), prj_init, jnp.asarray(tgt),
-        jnp.asarray(targeted), jnp.asarray(w), jnp.asarray(dt),
-        spaa_cfg)
-    cam_best = np.asarray(cam_best)
-    prj_best = np.asarray(prj_best)
+    return configs, per_cfg, prj_init, tgt, targeted, w, dt, spaa_cfg
 
+
+def save_spaa_sweep_outputs(cam_best, prj_best, configs, per_cfg,
+                            setup_path, attacker_cfg_str, classifier_name):
+    """Unpack the fused sweep's outputs into the reference directory
+    layout (targeted 1..n then untargeted as image n+1, ref ``:136-139``)."""
     for ci, (stealth_loss, d_thr) in enumerate(configs):
         s = ci * per_cfg
         folder = join(attacker_cfg_str, stealth_loss, str(d_thr),
                       classifier_name)
-        # targeted 1..n then untargeted as image n+1 (ref :136-139)
         save_imgs(cam_best[s:s + per_cfg],
                   join(setup_path, "cam/infer/adv", folder))
         save_imgs(prj_best[s:s + per_cfg],
                   join(setup_path, "prj/adv", folder))
+
+
+def _run_spaa_sweep(cfg, trained, classifier, cam_scene, target_idx,
+                    true_idx, setup_info, setup_path, attacker_cfg_str,
+                    classifier_name, imagenet_labels):
+    """All (stealth_loss × d_thr) configs × (1 untargeted + 10 targeted) as
+    ONE batched attack, then unpack into the reference directory layout."""
+    cp_sz = tuple(int(c) for c in setup_info["classifier_crop_sz"])
+    compute_dtype = cfg.get(
+        "attack_dtype",
+        "bfloat16" if jax.default_backend() == "tpu" else "float32")
+    pcnet_apply, pcnet_state = make_pcnet_fn(trained,
+                                             compute_dtype=compute_dtype)
+    logits_fn, clf_params = make_attack_logits_fn(classifier, cp_sz,
+                                                  compute_dtype)
+    (configs, per_cfg, prj_init, tgt, targeted, w, dt,
+     spaa_cfg) = build_spaa_sweep_arrays(cfg, setup_info, target_idx,
+                                         true_idx)
+    cam_best, prj_best = spaa_attack_auto(
+        pcnet_apply, logits_fn, pcnet_state, clf_params,
+        jnp.asarray(cam_scene), jnp.asarray(prj_init), jnp.asarray(tgt),
+        jnp.asarray(targeted), jnp.asarray(w), jnp.asarray(dt),
+        spaa_cfg)
+    save_spaa_sweep_outputs(np.asarray(cam_best), np.asarray(prj_best),
+                            configs, per_cfg, setup_path, attacker_cfg_str,
+                            classifier_name)
     print(f"  [SPAA] {len(configs)} configs × {per_cfg} attacks "
-          f"done in one batched run (batch {b})")
+          f"done in one batched run (batch {prj_init.shape[0]})")
 
 
 def _run_percal_sweep(cfg, trained, classifier, cam_scene, target_idx,

@@ -471,3 +471,209 @@ def _pretrain_multi_setup(cfg_default, mesh, chunk, model_name: str):
                 rows.append(dict(setup=j["setup"], status="trained",
                                  PSNR=psnr, RMSE=rmse, SSIM=ssim))
     return rows
+
+
+def spaa_attack_multi_setup(pcnet_apply: Callable, logits_fn: Callable,
+                            pcnet_states, clf_params, cam_scenes,
+                            prj_inits, target_idx, targeted, weights,
+                            d_thr, mesh: Mesh, axis: str = "setup",
+                            cfg=None):
+    """S setups' SPAA sweeps as ONE shard_map program, one setup per
+    device (the attack-phase twin of :func:`train_pcnet_multi_setup`;
+    the reference — and our orchestrator — run setups sequentially,
+    ``projector_based_attack.py:24-209``).
+
+    Each device runs the UNMODIFIED production
+    :func:`spaa_tpu.attack.spaa.spaa_attack_batched` on its local setup
+    (frozen per-setup PCNet state + shared classifier), so per-device
+    math, compile shape, and speed are identical to the single-setup
+    program; the phase wall-clock divides by n_devices with zero
+    collectives.
+
+    pcnet_states: list of S frozen PCNet state pytrees (params/scene/
+                  mask/caches — whatever ``pcnet_apply`` consumes).
+    clf_params:   ONE classifier tree, replicated.
+    cam_scenes [S,1,H,W,3], prj_inits [S,B,hp,wp,3], target_idx [S,B],
+    targeted [S,B], weights [S,B,3], d_thr [S,B] — per-setup stacks of
+    the production per-config arrays.
+
+    Requires len(pcnet_states) == mesh size (chunk callers into waves).
+    Returns (cam_infer_best [S,B,...], prj_adv_best [S,B,...]).
+    """
+    from spaa_tpu.attack.spaa import SpaaConfig, spaa_attack_batched
+    if cfg is None:
+        cfg = SpaaConfig()
+    S = len(pcnet_states)
+    if S != mesh.devices.size:
+        raise ValueError(f"{S} setups != {mesh.devices.size}-device mesh "
+                         "(chunk into waves of mesh-size setups)")
+
+    states_stk = stack_setups(pcnet_states)
+    sq = partial(jax.tree.map, lambda x: x[0])
+
+    def body(st, clf, scenes, prjs, tgt, tgd, w, dt):
+        cam, prj = spaa_attack_batched(
+            pcnet_apply, logits_fn, sq(st), clf, scenes[0], prjs[0],
+            tgt[0], tgd[0], w[0], dt[0], cfg=cfg)
+        return cam[None], prj[None]
+
+    sp = P(axis)
+    # check_vma=False: the attack body takes an explicit jax.vjp whose
+    # cotangents mix device-varying primals with replicated constants —
+    # sound here (the body touches only its own shard; no collectives),
+    # but the varying-axes checker can't prove it
+    run = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(sp, P(), sp, sp, sp, sp, sp, sp),
+        out_specs=(sp, sp), check_vma=False))
+    sh = NamedSharding(mesh, sp)
+    put = lambda t: jax.tree.map(lambda x: jax.device_put(jnp.asarray(x),
+                                                          sh), t)
+    return run(put(states_stk), clf_params, put(cam_scenes),
+               put(prj_inits), put(target_idx), put(targeted),
+               put(weights), put(d_thr))
+
+
+def run_spaa_attack_multi_setup(cfg, mesh="auto", weights_dir=None):
+    """SPAA benchmark sweeps over ``cfg.setup_list``, mesh-size setups at
+    a time — the deployment wrapper around
+    :func:`spaa_attack_multi_setup`, producing byte-for-byte the same
+    output directory layout as the sequential driver
+    (:func:`spaa_tpu.attack.orchestrate.run_projector_based_attack`,
+    ref ``projector_based_attack.py:24-148``); equivalence is pinned in
+    ``tests/test_parallel.py``.
+
+    Per-setup PCNet training/loading stays sequential here (use
+    :func:`pretrain_pcnets_multi_setup` / ``--multi-setup-train`` to fill
+    the checkpoint cache in parallel first, then run this with
+    ``cfg.load_pretrained=True``). Setups are grouped by tensor-shape key
+    and chunked into waves of mesh-size; a remainder wave runs on a
+    sub-mesh of its own size (or sequentially when it is a single setup).
+
+    The per-setup PCNet states must form ONE stackable pytree, so the
+    wave program uses the XLA grid_sample warp, not the Pallas fixed-grid
+    kernel — its per-setup tap tables have data-dependent spill counts
+    K (shapes differ across setups; see ``ops/pallas/warp.py``). Padding
+    the tables to a common K (exact: spilled taps carry weight 0) is the
+    knob to add if single-device profiles ever justify it.
+    """
+    import itertools
+
+    from spaa_tpu.attack.orchestrate import (build_spaa_sweep_arrays,
+                                             make_attack_logits_fn,
+                                             make_pcnet_fn,
+                                             save_spaa_sweep_outputs,
+                                             to_attacker_cfg_str)
+    from spaa_tpu.attack.spaa import spaa_attack_auto
+    from spaa_tpu.models.classifiers import Classifier, load_imagenet_labels
+    from spaa_tpu.ops.image import center_crop, expand_4d
+    from spaa_tpu.parallel.mesh import make_mesh
+    from spaa_tpu.train.data import load_setup_info
+    from spaa_tpu.train.pipeline import train_eval_pcnet
+    from spaa_tpu.train.train import get_model_train_cfg
+    from spaa_tpu.utils.io import imread
+    from spaa_tpu.utils.seed import reset_rng_seeds
+
+    assert cfg.attacker_name == "SPAA", \
+        "multi-setup attack waves are implemented for SPAA"
+    reset_rng_seeds(0)
+    if isinstance(mesh, str):
+        assert mesh == "auto", f"unrecognized mesh={mesh!r}"
+        n_dev = len(jax.devices())
+        mesh = make_mesh(n_dev, axis="setup") if n_dev > 1 else None
+    wave_sz = mesh.devices.size if mesh is not None else 1
+    compute_dtype = cfg.get(
+        "attack_dtype",
+        "bfloat16" if jax.default_backend() == "tpu" else "float32")
+
+    # per-setup prep: scene, trained PCNet (cache hit when pretrained),
+    # frozen attack state — identical to the sequential driver's
+    attacker_cfg_str = to_attacker_cfg_str("SPAA")[0]
+    prepped = []
+    for setup_name in cfg.setup_list:
+        setup_path = join(cfg.data_root, "setups", setup_name)
+        setup_info = load_setup_info(setup_path)
+        w_cam, h_cam = setup_info["cam_im_sz"]
+        cam_scene = np.asarray(center_crop(
+            expand_4d(jnp.asarray(imread(join(
+                setup_path, "cam/raw/ref/img_0002.png")))), (h_cam, w_cam)))
+        model_cfg = get_model_train_cfg(
+            ["PCNet"], cfg.data_root, [setup_name],
+            load_pretrained=cfg.load_pretrained,
+            plot_on=bool(cfg.get("plot_on", False)))
+        if "max_iters" in cfg:       # test override
+            model_cfg.max_iters = cfg.max_iters
+        trained, _, model_cfg = train_eval_pcnet(model_cfg)
+        pcnet_apply, pcnet_state = make_pcnet_fn(
+            trained, use_pallas_warp=False, compute_dtype=compute_dtype)
+        cp_sz = tuple(int(c) for c in setup_info["classifier_crop_sz"])
+        prepped.append(dict(
+            name=setup_name, path=setup_path, info=setup_info,
+            scene=cam_scene, apply=pcnet_apply, state=pcnet_state,
+            key=(cam_scene.shape, tuple(setup_info["prj_im_sz"]), cp_sz)))
+    cfg.model_cfg = dict(model_cfg)
+
+    imagenet_labels = load_imagenet_labels(
+        join(cfg.data_root, "imagenet1000_clsidx_to_labels.txt"))
+    target_labels = load_imagenet_labels(
+        join(cfg.data_root, "imagenet10_clsidx_to_labels.txt"))
+    target_idx = list(itertools.islice(target_labels.keys(), 10))
+
+    groups: dict = {}
+    for pr in prepped:
+        groups.setdefault(pr["key"], []).append(pr)
+
+    for classifier_name in cfg.classifier_names:
+        classifier = Classifier(classifier_name, weights_dir,
+                                sort_results=True)
+        for key, group in groups.items():
+            cp_sz = key[2]
+            logits_fn, clf_params = make_attack_logits_fn(
+                classifier, cp_sz, compute_dtype)
+            for lo in range(0, len(group), wave_sz):
+                wave = group[lo:lo + wave_sz]
+                per_setup = []
+                for pr in wave:
+                    _, _, pred_idx = classifier(jnp.asarray(pr["scene"]),
+                                                cp_sz)
+                    true_idx = int(pred_idx[0, 0])
+                    arrays = build_spaa_sweep_arrays(
+                        cfg, pr["info"], target_idx, true_idx)
+                    per_setup.append(arrays)
+                    print(f"  [SPAA multi-setup] {pr['name']} vs "
+                          f"{classifier_name}: original class "
+                          f"{imagenet_labels[true_idx]}")
+                configs, per_cfg = per_setup[0][0], per_setup[0][1]
+                spaa_cfg = per_setup[0][7]
+                stk = [np.stack([ps[i] for ps in per_setup])
+                       for i in range(2, 7)]
+                if len(wave) == 1:
+                    # remainder-of-one: the plain sequential program
+                    cam_b, prj_b = spaa_attack_auto(
+                        wave[0]["apply"], logits_fn, wave[0]["state"],
+                        clf_params, jnp.asarray(wave[0]["scene"]),
+                        jnp.asarray(stk[0][0]), jnp.asarray(stk[1][0]),
+                        jnp.asarray(stk[2][0]), jnp.asarray(stk[3][0]),
+                        jnp.asarray(stk[4][0]), spaa_cfg)
+                    cam_ms, prj_ms = np.asarray(cam_b)[None], \
+                        np.asarray(prj_b)[None]
+                else:
+                    wv_mesh = mesh
+                    if len(wave) != wave_sz:   # remainder: sub-mesh
+                        wv_mesh = Mesh(mesh.devices.ravel()[:len(wave)],
+                                       mesh.axis_names)
+                    cam_ms, prj_ms = spaa_attack_multi_setup(
+                        wave[0]["apply"], logits_fn,
+                        [pr["state"] for pr in wave], clf_params,
+                        np.stack([pr["scene"] for pr in wave]),
+                        stk[0], stk[1], stk[2], stk[3], stk[4],
+                        mesh=wv_mesh, cfg=spaa_cfg)
+                    cam_ms, prj_ms = np.asarray(cam_ms), np.asarray(prj_ms)
+                for s, pr in enumerate(wave):
+                    save_spaa_sweep_outputs(
+                        cam_ms[s], prj_ms[s], configs, per_cfg,
+                        pr["path"], attacker_cfg_str, classifier_name)
+                print(f"  [SPAA multi-setup] wave of {len(wave)} setups × "
+                      f"{len(configs)} configs × {per_cfg} attacks done "
+                      f"({classifier_name})")
+    return cfg

@@ -409,3 +409,130 @@ def test_pretrain_compennet_pp_multi_setup_fills_checkpoint_cache(tmp_path):
     psnr_rows = ret[ret["Setup"].isin(names)]
     assert len(psnr_rows) == 2 and np.isfinite(
         psnr_rows["PSNR"].to_numpy(float)).all()
+
+
+def test_spaa_attack_multi_setup_matches_sequential():
+    """Setup-parallel SPAA (one setup per device, shard_map) must equal S
+    sequential production spaa_attack_batched runs — each device traces
+    the SAME single-setup program, so this pins the stacking/sharding
+    plumbing, not reduction-order noise."""
+    from spaa_tpu.attack.spaa import SpaaConfig, spaa_attack_batched
+    from spaa_tpu.parallel import spaa_attack_multi_setup
+
+    S, B, HP, H, W, NCLS = 2, 6, 16, 12, 16, 7
+    rng = np.random.default_rng(3)
+
+    def pcnet_apply(state, prj):
+        x = jax.image.resize(prj, (prj.shape[0], H, W, 3), "linear")
+        return jnp.clip(x @ state["k"] * 0.5 + state["bias"], 0.0, 1.0)
+
+    k_cl = jnp.asarray(rng.normal(0, 0.1, (H * W * 3, NCLS)).astype(np.float32))
+
+    def logits_fn(params, cam):
+        return cam.reshape(cam.shape[0], -1) @ params
+
+    states, scenes, prjs, tgts, tgds, ws, dts = [], [], [], [], [], [], []
+    for s in range(S):
+        states.append({"k": jnp.asarray(
+            rng.normal(0, 0.3, (3, 3)).astype(np.float32)),
+            "bias": jnp.asarray(0.3 + 0.1 * s)})
+        scenes.append(rng.random((1, H, W, 3)).astype(np.float32))
+        prjs.append(rng.random((B, HP, HP, 3)).astype(np.float32))
+        tgts.append(rng.integers(0, NCLS, B).astype(np.int32))
+        tgds.append(np.asarray([True, False] * (B // 2)))
+        ws.append(np.tile(np.asarray([0.0, 1.0, 1.0], np.float32), (B, 1)))
+        dts.append(np.full((B,), 2.0, np.float32))
+    cfg = SpaaConfig(iters=3)
+
+    run1 = jax.jit(lambda *a: spaa_attack_batched(
+        pcnet_apply, logits_fn, *a, cfg=cfg))
+    refs = [run1(states[s], k_cl, jnp.asarray(scenes[s]),
+                 jnp.asarray(prjs[s]), jnp.asarray(tgts[s]),
+                 jnp.asarray(tgds[s]), jnp.asarray(ws[s]),
+                 jnp.asarray(dts[s])) for s in range(S)]
+
+    mesh = make_mesh(2, axis="setup")
+    cam_ms, prj_ms = spaa_attack_multi_setup(
+        pcnet_apply, logits_fn, states, k_cl, np.stack(scenes),
+        np.stack(prjs), np.stack(tgts), np.stack(tgds), np.stack(ws),
+        np.stack(dts), mesh=mesh, cfg=cfg)
+    for s in range(S):
+        np.testing.assert_allclose(np.asarray(refs[s][0]),
+                                   np.asarray(cam_ms[s]),
+                                   rtol=1e-6, atol=1e-7,
+                                   err_msg=f"setup {s} cam_best")
+        np.testing.assert_allclose(np.asarray(refs[s][1]),
+                                   np.asarray(prj_ms[s]),
+                                   rtol=1e-6, atol=1e-7,
+                                   err_msg=f"setup {s} prj_best")
+
+    # wrong wave size is rejected
+    with pytest.raises(ValueError):
+        spaa_attack_multi_setup(
+            pcnet_apply, logits_fn, states[:1], k_cl, np.stack(scenes[:1]),
+            np.stack(prjs[:1]), np.stack(tgts[:1]), np.stack(tgds[:1]),
+            np.stack(ws[:1]), np.stack(dts[:1]), mesh=mesh, cfg=cfg)
+
+
+def test_run_spaa_attack_multi_setup_matches_sequential_driver(tmp_path):
+    """Deployment wrapper: two synthetic setups attacked as one 2-device
+    shard_map wave must reproduce the sequential driver's saved sweep
+    outputs (same trained PCNets via the shared checkpoint cache; saved
+    uint8 PNGs compared pixelwise)."""
+    import glob
+    import shutil
+    from os.path import join
+
+    from spaa_tpu.attack import get_attacker_cfg, run_projector_based_attack
+    from spaa_tpu.parallel import run_spaa_attack_multi_setup
+    from spaa_tpu.utils.io import imread
+    from spaa_tpu.utils.sim_procams import DEFAULT_SIM_SETUP_INFO, SimProCams
+
+    root_a = str(tmp_path / "a" / "data")
+    names = ["ms1", "ms2"]
+    info = dict(DEFAULT_SIM_SETUP_INFO)
+    info.update(prj_im_sz=[64, 64], cam_im_sz=[64, 48],
+                classifier_crop_sz=[48, 48])
+    for k, n in enumerate(names):
+        SimProCams(dict(info), seed=11 + k).make_setup(
+            root_a, n, num_train=16, num_test=4)
+
+    def _cfg(root, load_pretrained):
+        cfg = get_attacker_cfg("SPAA", root, names,
+                               load_pretrained=load_pretrained)
+        cfg.max_iters = 30           # tiny PCNet training
+        cfg.attack_iters = 5         # tiny SPAA budget
+        cfg.classifier_names = ["resnet18"]
+        cfg.stealth_losses = ["caml2", "camdE"]  # exercises camde_range
+        cfg.d_threshes = [5]
+        return cfg
+
+    run_projector_based_attack(_cfg(root_a, False))
+
+    # same world + same trained weights for the wrapper: copy the data
+    # tree AND the sibling checkpoint cache, drop A's attack outputs
+    root_b = str(tmp_path / "b" / "data")
+    shutil.copytree(str(tmp_path / "a"), str(tmp_path / "b"))
+    for n in names:
+        for sub in ["prj/adv", "cam/infer/adv"]:
+            shutil.rmtree(join(root_b, "setups", n, sub))
+
+    run_spaa_attack_multi_setup(_cfg(root_b, True),
+                                mesh=make_mesh(2, axis="setup"))
+
+    pngs_a = sorted(
+        glob.glob(join(root_a, "setups/*/prj/adv/**/*.png"), recursive=True)
+        + glob.glob(join(root_a, "setups/*/cam/infer/adv/**/*.png"),
+                    recursive=True))
+    # 2 setups x (prj + cam/infer) x 2 configs x 11 attacks
+    assert len(pngs_a) == 2 * 2 * 2 * 11, pngs_a
+    worst = 0.0
+    for pa in pngs_a:
+        pb = pa.replace(root_a, root_b)
+        im_a = np.asarray(imread(pa), np.float32)
+        im_b = np.asarray(imread(pb), np.float32)
+        worst = max(worst, float(np.abs(im_a - im_b).max()) * 255.0)
+    # both paths run the identical per-setup math (stepped vs fori_loop
+    # bodies of the same _spaa_body); saved uint8 pixels may flip by 1
+    # count on exact-half rounding edges
+    assert worst <= 1.0, f"saved sweep outputs differ by {worst} counts"
