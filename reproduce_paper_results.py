@@ -136,10 +136,13 @@ def main() -> None:
             # SPAA/PerC-AL attack through the frozen simulator model only;
             # procams matters at replay, where each sim setup is its own
             # deterministic "world"
-            if (attacker_name == "SPAA" and args.multi_setup_attack
-                    and len(setup_list) > 1):
-                from spaa_tpu.parallel import run_spaa_attack_multi_setup
-                run_spaa_attack_multi_setup(cfg)
+            if args.multi_setup_attack and len(setup_list) > 1:
+                from spaa_tpu.parallel import (run_percal_attack_multi_setup,
+                                               run_spaa_attack_multi_setup)
+                if attacker_name == "SPAA":
+                    run_spaa_attack_multi_setup(cfg)
+                else:
+                    run_percal_attack_multi_setup(cfg)
             else:
                 run_projector_based_attack(cfg, procams=procams)
             if procams is not None:

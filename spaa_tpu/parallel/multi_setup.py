@@ -534,6 +534,61 @@ def spaa_attack_multi_setup(pcnet_apply: Callable, logits_fn: Callable,
                put(weights), put(d_thr))
 
 
+def percal_attack_multi_setup(compen_apply: Callable, logits_fn: Callable,
+                              compen_params_list, clf_params, cam_scenes,
+                              target_idx, targeted, d_thr, mesh: Mesh,
+                              axis: str = "setup", cfg=None):
+    """S setups' PerC-AL+CompenNet++ attacks as ONE shard_map program,
+    one setup per device — the PerC-AL twin of
+    :func:`spaa_attack_multi_setup` (sequential reference:
+    ``projector_based_attack.py:342-359`` per setup).
+
+    Each device runs the UNMODIFIED production loop
+    (:func:`spaa_tpu.attack.perc_al.perc_al_core`, projector variant) on
+    its scene batch, then compensates the adversarial camera images into
+    projector inputs through its setup-local CompenNet++.
+
+    compen_apply(params, cam [B,...], scene [B,...]) -> prj.
+    compen_params_list: S CompenNet++ param trees.
+    cam_scenes [S,1,H,W,3]; target_idx/targeted/d_thr [S,B].
+
+    Requires len(compen_params_list) == mesh size.
+    Returns (cam_infer_best [S,B,...], prj_adv_best [S,B,...]).
+    """
+    from spaa_tpu.attack.perc_al import PercALConfig, perc_al_core
+    if cfg is None:
+        cfg = PercALConfig()
+    S = len(compen_params_list)
+    if S != mesh.devices.size:
+        raise ValueError(f"{S} setups != {mesh.devices.size}-device mesh "
+                         "(chunk into waves of mesh-size setups)")
+
+    params_stk = stack_setups(compen_params_list)
+    sq = partial(jax.tree.map, lambda x: x[0])
+
+    def body(cp, clf, scenes, tgt, tgd, dt):
+        b = tgt.shape[1]
+        scene_b = jnp.broadcast_to(scenes[0],
+                                   (b,) + scenes.shape[2:])
+        x_best = perc_al_core(logits_fn, clf, scene_b, tgt[0], tgd[0],
+                              cfg, d_thr=dt[0], projector_variant=True)
+        prj = compen_apply(sq(cp), x_best, scene_b)
+        return x_best[None], prj[None]
+
+    sp = P(axis)
+    # check_vma=False for the same reason as spaa_attack_multi_setup
+    run = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(sp, P(), sp, sp, sp, sp),
+        out_specs=(sp, sp), check_vma=False))
+    sh = NamedSharding(mesh, sp)
+    put = lambda t: jax.tree.map(lambda x: jax.device_put(jnp.asarray(x),
+                                                          sh), t)
+    return run(put(params_stk), clf_params, put(cam_scenes),
+               put(jnp.asarray(np.asarray(target_idx), jnp.int32)),
+               put(targeted), put(d_thr))
+
+
 def run_spaa_attack_multi_setup(cfg, mesh="auto", weights_dir=None):
     """SPAA benchmark sweeps over ``cfg.setup_list``, mesh-size setups at
     a time — the deployment wrapper around
@@ -676,4 +731,140 @@ def run_spaa_attack_multi_setup(cfg, mesh="auto", weights_dir=None):
                 print(f"  [SPAA multi-setup] wave of {len(wave)} setups × "
                       f"{len(configs)} configs × {per_cfg} attacks done "
                       f"({classifier_name})")
+    return cfg
+
+
+def run_percal_attack_multi_setup(cfg, mesh="auto", weights_dir=None):
+    """PerC-AL+CompenNet++ twin of :func:`run_spaa_attack_multi_setup`:
+    the benchmark's PerC-AL attacks over ``cfg.setup_list``, mesh-size
+    setups per shard_map wave, saved outputs identical to the sequential
+    driver's (``attack.orchestrate._run_percal_sweep``). CompenNet++
+    training/loading stays sequential (fill the cache with
+    :func:`pretrain_compennets_pp_multi_setup` first)."""
+    import itertools
+
+    from spaa_tpu.attack.orchestrate import (perc_al_compennet_pp,
+                                             to_attacker_cfg_str)
+    from spaa_tpu.attack.perc_al import PercALConfig
+    from spaa_tpu.models.classifiers import Classifier, load_imagenet_labels
+    from spaa_tpu.ops.image import center_crop, expand_4d
+    from spaa_tpu.parallel.mesh import make_mesh
+    from spaa_tpu.train.data import load_setup_info
+    from spaa_tpu.train.pipeline import train_eval_compennet_pp
+    from spaa_tpu.train.train import get_model_train_cfg
+    from spaa_tpu.utils.io import imread, save_imgs
+    from spaa_tpu.utils.seed import reset_rng_seeds
+
+    assert cfg.attacker_name == "PerC-AL+CompenNet++"
+    reset_rng_seeds(0)
+    if isinstance(mesh, str):
+        assert mesh == "auto", f"unrecognized mesh={mesh!r}"
+        n_dev = len(jax.devices())
+        mesh = make_mesh(n_dev, axis="setup") if n_dev > 1 else None
+    wave_sz = mesh.devices.size if mesh is not None else 1
+
+    attacker_cfg_str = to_attacker_cfg_str("PerC-AL+CompenNet++")[0]
+    prepped = []
+    for setup_name in cfg.setup_list:
+        setup_path = join(cfg.data_root, "setups", setup_name)
+        setup_info = load_setup_info(setup_path)
+        w_cam, h_cam = setup_info["cam_im_sz"]
+        cam_scene = np.asarray(center_crop(
+            expand_4d(jnp.asarray(imread(join(
+                setup_path, "cam/raw/ref/img_0002.png")))), (h_cam, w_cam)))
+        model_cfg = get_model_train_cfg(
+            ["CompenNet++"], cfg.data_root, [setup_name],
+            load_pretrained=cfg.load_pretrained,
+            plot_on=bool(cfg.get("plot_on", False)))
+        for key in ("max_iters", "init_max_iters"):   # test overrides
+            if key in cfg:
+                model_cfg[key] = cfg[key]
+        trained, _, model_cfg = train_eval_compennet_pp(model_cfg)
+        cp_sz = tuple(int(c) for c in setup_info["classifier_crop_sz"])
+        prepped.append(dict(
+            name=setup_name, path=setup_path, info=setup_info,
+            scene=cam_scene, model=trained.model, params=trained.params,
+            key=(cam_scene.shape, cp_sz)))
+    cfg.model_cfg = dict(model_cfg)
+
+    imagenet_labels = load_imagenet_labels(
+        join(cfg.data_root, "imagenet1000_clsidx_to_labels.txt"))
+    target_labels = load_imagenet_labels(
+        join(cfg.data_root, "imagenet10_clsidx_to_labels.txt"))
+    target_idx = list(itertools.islice(target_labels.keys(), 10))
+    n = len(target_idx)
+    b = n + 1
+    attack_iters = int(cfg.get("attack_iters", 50))
+    pcfg = PercALConfig(max_iterations=attack_iters, alpha_l_init=1.0,
+                        alpha_c_init=0.5, confidence=40)
+
+    groups: dict = {}
+    for pr in prepped:
+        groups.setdefault(pr["key"], []).append(pr)
+
+    for classifier_name in cfg.classifier_names:
+        classifier = Classifier(classifier_name, weights_dir,
+                                sort_results=True)
+        for key, group in groups.items():
+            cp_sz = key[1]
+
+            def logits_fn(params, im, _clf=classifier, _cp=cp_sz):
+                return _clf._logits_fn(params, im, _cp)
+
+            for lo in range(0, len(group), wave_sz):
+                wave = group[lo:lo + wave_sz]
+                model = wave[0]["model"]
+
+                def compen_apply(p, cam, scene, _m=model):
+                    return _m.apply({"params": p}, cam, scene)
+
+                tgt = np.zeros((len(wave), b), np.int32)
+                for s, pr in enumerate(wave):
+                    _, _, pred_idx = classifier(jnp.asarray(pr["scene"]),
+                                                cp_sz)
+                    tgt[s, :n] = target_idx
+                    tgt[s, n] = int(pred_idx[0, 0])
+                targeted = np.tile(np.asarray([True] * n + [False]),
+                                   (len(wave), 1))
+                for stealth_loss in cfg.stealth_losses:
+                    for d_thr in cfg.d_threshes:
+                        folder = join(attacker_cfg_str, stealth_loss,
+                                      str(d_thr), classifier_name)
+                        if len(wave) == 1:
+                            pr = wave[0]
+                            cam_ms, prj_ms = perc_al_compennet_pp(
+                                partial(jax.jit(compen_apply),
+                                        pr["params"]),
+                                classifier, imagenet_labels,
+                                list(tgt[0]), targeted[0],
+                                jnp.asarray(pr["scene"]), d_thr,
+                                pr["info"],
+                                max_iterations=attack_iters)
+                            cam_ms = np.asarray(cam_ms)[None]
+                            prj_ms = np.asarray(prj_ms)[None]
+                        else:
+                            wv_mesh = mesh
+                            if len(wave) != wave_sz:
+                                wv_mesh = Mesh(
+                                    mesh.devices.ravel()[:len(wave)],
+                                    mesh.axis_names)
+                            cam_ms, prj_ms = percal_attack_multi_setup(
+                                compen_apply, logits_fn,
+                                [pr["params"] for pr in wave],
+                                classifier.params,
+                                np.stack([pr["scene"] for pr in wave]),
+                                tgt, targeted,
+                                np.full((len(wave), b), float(d_thr),
+                                        np.float32),
+                                mesh=wv_mesh, cfg=pcfg)
+                            cam_ms = np.asarray(cam_ms)
+                            prj_ms = np.asarray(prj_ms)
+                        for s, pr in enumerate(wave):
+                            save_imgs(cam_ms[s], join(pr["path"],
+                                                      "cam/infer/adv",
+                                                      folder))
+                            save_imgs(prj_ms[s], join(pr["path"],
+                                                      "prj/adv", folder))
+                print(f"  [PerC-AL multi-setup] wave of {len(wave)} setups "
+                      f"done ({classifier_name})")
     return cfg

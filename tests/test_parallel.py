@@ -536,3 +536,113 @@ def test_run_spaa_attack_multi_setup_matches_sequential_driver(tmp_path):
     # bodies of the same _spaa_body); saved uint8 pixels may flip by 1
     # count on exact-half rounding edges
     assert worst <= 1.0, f"saved sweep outputs differ by {worst} counts"
+
+
+def test_percal_attack_multi_setup_matches_sequential():
+    """Setup-parallel PerC-AL+CompenNet++ (one setup per device) must
+    equal S sequential runs of the production loop + compensation."""
+    from spaa_tpu.attack.perc_al import PercALConfig, perc_al_core
+    from spaa_tpu.parallel import percal_attack_multi_setup
+
+    S, B, H, W, NCLS = 2, 6, 12, 16, 7
+    rng = np.random.default_rng(5)
+    k_cl = jnp.asarray(rng.normal(0, 0.1, (H * W * 3, NCLS)).astype(np.float32))
+
+    def logits_fn(params, cam):
+        return cam.reshape(cam.shape[0], -1) @ params
+
+    def compen_apply(p, cam, scene):
+        return jnp.clip((cam - scene) @ p["k"] + p["b"], 0.0, 1.0)
+
+    params, scenes, tgts = [], [], []
+    for s in range(S):
+        params.append({"k": jnp.asarray(
+            rng.normal(0, 0.3, (3, 3)).astype(np.float32)),
+            "b": jnp.asarray(0.4 + 0.05 * s)})
+        scenes.append(rng.random((1, H, W, 3)).astype(np.float32))
+        tgts.append(rng.integers(0, NCLS, B).astype(np.int32))
+    targeted = np.tile(np.asarray([True] * (B - 1) + [False]), (S, 1))
+    d_thr = np.full((S, B), 2.0, np.float32)
+    cfg = PercALConfig(max_iterations=4, confidence=40)
+
+    refs = []
+    run1 = jax.jit(lambda clf, sc, t, tg, dt: perc_al_core(
+        logits_fn, clf, jnp.broadcast_to(sc[0], (B,) + sc.shape[2:]),
+        t, tg, cfg, d_thr=dt, projector_variant=True))
+    for s in range(S):
+        x_best = run1(k_cl, jnp.asarray(scenes[s])[None][0][None],
+                      jnp.asarray(tgts[s]), jnp.asarray(targeted[s]),
+                      jnp.asarray(d_thr[s]))
+        scene_b = jnp.broadcast_to(jnp.asarray(scenes[s]),
+                                   (B, H, W, 3))
+        refs.append((x_best, compen_apply(params[s], x_best, scene_b)))
+
+    mesh = make_mesh(2, axis="setup")
+    cam_ms, prj_ms = percal_attack_multi_setup(
+        compen_apply, logits_fn, params, k_cl, np.stack(scenes),
+        np.stack(tgts), targeted, d_thr, mesh=mesh, cfg=cfg)
+    for s in range(S):
+        np.testing.assert_allclose(np.asarray(refs[s][0]),
+                                   np.asarray(cam_ms[s]),
+                                   rtol=1e-6, atol=1e-7,
+                                   err_msg=f"setup {s} cam_best")
+        np.testing.assert_allclose(np.asarray(refs[s][1]),
+                                   np.asarray(prj_ms[s]),
+                                   rtol=1e-6, atol=1e-7,
+                                   err_msg=f"setup {s} prj_best")
+
+
+def test_run_percal_attack_multi_setup_matches_sequential_driver(tmp_path):
+    """PerC-AL deployment wrapper vs the sequential driver: two synthetic
+    setups, shared CompenNet++ checkpoints, saved PNGs compared."""
+    import glob
+    import shutil
+    from os.path import join
+
+    from spaa_tpu.attack import get_attacker_cfg, run_projector_based_attack
+    from spaa_tpu.parallel import run_percal_attack_multi_setup
+    from spaa_tpu.utils.io import imread
+    from spaa_tpu.utils.sim_procams import DEFAULT_SIM_SETUP_INFO, SimProCams
+
+    root_a = str(tmp_path / "a" / "data")
+    names = ["mp1", "mp2"]
+    info = dict(DEFAULT_SIM_SETUP_INFO)
+    info.update(prj_im_sz=[64, 64], cam_im_sz=[64, 48],
+                classifier_crop_sz=[48, 48])
+    for k, n in enumerate(names):
+        SimProCams(dict(info), seed=31 + k).make_setup(
+            root_a, n, num_train=16, num_test=4)
+
+    def _cfg(root, load_pretrained):
+        cfg = get_attacker_cfg("PerC-AL+CompenNet++", root, names,
+                               load_pretrained=load_pretrained)
+        cfg.max_iters = 30           # tiny CompenNet++ training
+        cfg.init_max_iters = 20      # tiny CompenNet init pretrain
+        cfg.attack_iters = 5         # tiny PerC-AL budget
+        cfg.classifier_names = ["resnet18"]
+        return cfg
+
+    run_projector_based_attack(_cfg(root_a, False))
+
+    root_b = str(tmp_path / "b" / "data")
+    shutil.copytree(str(tmp_path / "a"), str(tmp_path / "b"))
+    for n in names:
+        for sub in ["prj/adv", "cam/infer/adv"]:
+            shutil.rmtree(join(root_b, "setups", n, sub))
+
+    run_percal_attack_multi_setup(_cfg(root_b, True),
+                                  mesh=make_mesh(2, axis="setup"))
+
+    pngs_a = sorted(
+        glob.glob(join(root_a, "setups/*/prj/adv/**/*.png"), recursive=True)
+        + glob.glob(join(root_a, "setups/*/cam/infer/adv/**/*.png"),
+                    recursive=True))
+    # 2 setups x (prj + cam/infer) x 1 config x 11 attacks
+    assert len(pngs_a) == 2 * 2 * 1 * 11, pngs_a
+    worst = 0.0
+    for pa in pngs_a:
+        pb = pa.replace(root_a, root_b)
+        im_a = np.asarray(imread(pa), np.float32)
+        im_b = np.asarray(imread(pb), np.float32)
+        worst = max(worst, float(np.abs(im_a - im_b).max()) * 255.0)
+    assert worst <= 1.0, f"saved PerC-AL outputs differ by {worst} counts"
