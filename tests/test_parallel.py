@@ -485,7 +485,7 @@ def test_run_spaa_attack_multi_setup_matches_sequential_driver(tmp_path):
 
     from spaa_tpu.attack import get_attacker_cfg, run_projector_based_attack
     from spaa_tpu.parallel import run_spaa_attack_multi_setup
-    from spaa_tpu.utils.io import imread
+    from spaa_tpu.utils.io import imread_u8
     from spaa_tpu.utils.sim_procams import DEFAULT_SIM_SETUP_INFO, SimProCams
 
     root_a = str(tmp_path / "a" / "data")
@@ -526,16 +526,19 @@ def test_run_spaa_attack_multi_setup_matches_sequential_driver(tmp_path):
                     recursive=True))
     # 2 setups x (prj + cam/infer) x 2 configs x 11 attacks
     assert len(pngs_a) == 2 * 2 * 2 * 11, pngs_a
-    worst = 0.0
+    worst = 0
     for pa in pngs_a:
         pb = pa.replace(root_a, root_b)
-        im_a = np.asarray(imread(pa), np.float32)
-        im_b = np.asarray(imread(pb), np.float32)
-        worst = max(worst, float(np.abs(im_a - im_b).max()) * 255.0)
+        # compare the DECODED uint8 pixels: the float imread round-trip
+        # ((u/255)*255) adds f32 rounding noise that pushed an exact
+        # 1-count delta to 1.0000075 and failed the threshold spuriously
+        im_a = np.asarray(imread_u8(pa), np.int16)
+        im_b = np.asarray(imread_u8(pb), np.int16)
+        worst = max(worst, int(np.abs(im_a - im_b).max()))
     # both paths run the identical per-setup math (stepped vs fori_loop
     # bodies of the same _spaa_body); saved uint8 pixels may flip by 1
     # count on exact-half rounding edges
-    assert worst <= 1.0, f"saved sweep outputs differ by {worst} counts"
+    assert worst <= 1, f"saved sweep outputs differ by {worst} counts"
 
 
 def test_percal_attack_multi_setup_matches_sequential():
@@ -601,7 +604,7 @@ def test_run_percal_attack_multi_setup_matches_sequential_driver(tmp_path):
 
     from spaa_tpu.attack import get_attacker_cfg, run_projector_based_attack
     from spaa_tpu.parallel import run_percal_attack_multi_setup
-    from spaa_tpu.utils.io import imread
+    from spaa_tpu.utils.io import imread_u8
     from spaa_tpu.utils.sim_procams import DEFAULT_SIM_SETUP_INFO, SimProCams
 
     root_a = str(tmp_path / "a" / "data")
@@ -639,10 +642,12 @@ def test_run_percal_attack_multi_setup_matches_sequential_driver(tmp_path):
                     recursive=True))
     # 2 setups x (prj + cam/infer) x 1 config x 11 attacks
     assert len(pngs_a) == 2 * 2 * 1 * 11, pngs_a
-    worst = 0.0
+    worst = 0
     for pa in pngs_a:
         pb = pa.replace(root_a, root_b)
-        im_a = np.asarray(imread(pa), np.float32)
-        im_b = np.asarray(imread(pb), np.float32)
-        worst = max(worst, float(np.abs(im_a - im_b).max()) * 255.0)
-    assert worst <= 1.0, f"saved PerC-AL outputs differ by {worst} counts"
+        # decoded uint8 counts, not the float round-trip (see the SPAA
+        # twin above — the f32 (u/255)*255 epsilon is not a real delta)
+        im_a = np.asarray(imread_u8(pa), np.int16)
+        im_b = np.asarray(imread_u8(pb), np.int16)
+        worst = max(worst, int(np.abs(im_a - im_b).max()))
+    assert worst <= 1, f"saved PerC-AL outputs differ by {worst} counts"

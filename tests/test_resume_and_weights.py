@@ -142,6 +142,37 @@ def test_pth_file_drives_load_params_and_caches_npz(resnet_pth_dir):
     clear_params_cache()
 
 
+def test_convert_weights_verify_drill(resnet_pth_dir, capsys, monkeypatch):
+    """The one-command real-weights drill (VERDICT r4 #8):
+    ``tools/convert_weights.py --verify`` must convert the dropped .pth,
+    run the scene-agreement check of ref ``main.py:135``, and emit ONE
+    bench-style JSON line with weight provenance — driven here end-to-end
+    on the fake torchvision-layout .pth."""
+    import importlib
+    import json
+    import sys as _sys
+
+    from spaa_tpu.models.classifiers import clear_params_cache
+    d, _ = resnet_pth_dir
+    clear_params_cache()
+    tool = importlib.import_module("tools.convert_weights")
+    monkeypatch.setattr(_sys, "argv",
+                        ["convert_weights.py", "--weights-dir", d,
+                         "--models", "resnet18", "--verify"])
+    rc = tool.main()
+    assert rc == 0
+    out = capsys.readouterr().out
+    line = next(l for l in out.splitlines()
+                if l.startswith('{"metric": "real_weights_drill"'))
+    rec = json.loads(line)
+    assert rec["value"] == 1                      # one model converted
+    assert rec["extra"]["weights_source"]["resnet18"] in ("pth", "npz")
+    assert rec["extra"]["scene"] == "synthetic_probe"
+    assert "resnet18" in rec["extra"]["top1"]
+    assert os.path.exists(join(d, "resnet18.npz"))
+    clear_params_cache()
+
+
 def test_agreement_guard_uses_pretrained_flag(resnet_pth_dir):
     """Classifier.loaded_pretrained drives the scene-agreement policy:
     assert with real weights (ref main.py:135), warn with random init."""

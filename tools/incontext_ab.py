@@ -33,6 +33,20 @@ K = 10
 CAM_HW = (240, 320)
 PRJ_HW = (256, 256)
 
+# the measured combo grid (module-level so tests/test_tools_smoke.py can
+# pin every knob value against the live PCNet API)
+COMBOS = [
+    ("packed=T subpix=T", dict(packed_encoder=True, subpix_tconv=True)),
+    ("packed=F subpix=F", dict(packed_encoder=False, subpix_tconv=False)),
+    ("packed=T subpix=F", dict(packed_encoder=True, subpix_tconv=False)),
+    ("packed=F subpix=T", dict(packed_encoder=False, subpix_tconv=True)),
+    # single-pair packing (VERDICT r3 #6): conv2/conv2_s is the biggest
+    # lane-starved layer — does packing ONLY it (skipping the conv1-pair
+    # layout churn) beat the all-off baseline?
+    ("packed=enc2 subpix=F", dict(packed_encoder="enc2", subpix_tconv=False)),
+    ("packed=enc1 subpix=F", dict(packed_encoder="enc1", subpix_tconv=False)),
+]
+
 
 def force(x):
     return np.asarray(jax.tree.leaves(x)[0].ravel()[0])
@@ -75,19 +89,7 @@ def main():
     # -> even the conv2-pair-only packing loses in-context on the attack
     #    program; the 1.1% train win is inside run noise and not worth a
     #    divergent default. CLOSED NEGATIVE: all packing defaults stay OFF.
-    combos = [
-        ("packed=T subpix=T", dict(packed_encoder=True, subpix_tconv=True)),
-        ("packed=F subpix=F", dict(packed_encoder=False, subpix_tconv=False)),
-        ("packed=T subpix=F", dict(packed_encoder=True, subpix_tconv=False)),
-        ("packed=F subpix=T", dict(packed_encoder=False, subpix_tconv=True)),
-        # single-pair packing (VERDICT r3 #6): conv2/conv2_s is the
-        # biggest lane-starved layer — does packing ONLY it (skipping the
-        # conv1-pair layout churn) beat the all-off baseline?
-        ("packed=enc2 subpix=F",
-         dict(packed_encoder="enc2", subpix_tconv=False)),
-        ("packed=enc1 subpix=F",
-         dict(packed_encoder="enc1", subpix_tconv=False)),
-    ]
+    combos = COMBOS
 
     # ---------------- attack shape ----------------
     print("attack: PCNet fwd+igrad, cached, B=132 bf16 (ms/application)")

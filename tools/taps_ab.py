@@ -23,6 +23,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+# variants: each rewrite judged independently in the full program, then
+# everything on. (label, classifier model_kw, pcnet_taps as build_sweep
+# takes it). Module-level so the CI smoke (tests/test_tools_smoke.py) can
+# walk the same grid the TPU A/B times — the grid drifting from the live
+# model API is the rot mode that killed measurement tools before.
+OFF = {"taps_stem": False, "taps_pool": False}
+ON = {"taps_stem": True, "taps_pool": True}
+VARIANTS = (("off ", OFF, False),
+            ("stem", {"taps_stem": True, "taps_pool": False}, False),
+            ("pool", {"taps_stem": False, "taps_pool": True}, False),
+            ("pcn ", OFF, True),
+            ("pc2 ", OFF, "enc2"),
+            ("all ", ON, True))
+VARIANTS_QUICK = (VARIANTS[0], VARIANTS[-1])
+
 
 def main():
     import jax
@@ -36,19 +51,7 @@ def main():
     print(f"backend={jax.default_backend()} iters={iters}", flush=True)
     force(jax.numpy.zeros(1))          # axon session warm-up
 
-    # variants: each rewrite judged independently in the full program,
-    # then everything on (the shipped defaults)
-    OFF = {"taps_stem": False, "taps_pool": False}
-    ON = {"taps_stem": True, "taps_pool": True}
-    if "quick" in sys.argv[2:]:
-        variants = (("off ", OFF, False), ("all ", ON, True))
-    else:
-        variants = (("off ", OFF, False),
-                    ("stem", {"taps_stem": True, "taps_pool": False}, False),
-                    ("pool", {"taps_stem": False, "taps_pool": True}, False),
-                    ("pcn ", OFF, True),
-                    ("pc2 ", OFF, "enc2"),
-                    ("all ", ON, True))
+    variants = VARIANTS_QUICK if "quick" in sys.argv[2:] else VARIANTS
     for clf in ("resnet18", "vgg16", "inception_v3"):
         row = {}
         for label, kw, ptaps in variants:
