@@ -446,7 +446,7 @@ def _bench_train_e2e(log, force):
     warm_cfg.max_iters = int(cfg.valid_rate)
     t0 = time.time()
     train_model_scan(loss_fn, params, tx,
-                     dict(inputs=prj_train, targets=cam_train),
+                     dict(inputs=prj_train_dev, targets=cam_train_dev),
                      idx[:warm_cfg.max_iters], warm_cfg, valid_fn=evaluator)
     log(f"[bench] train e2e warm-up (compiles) {time.time() - t0:.1f}s")
 

@@ -99,6 +99,10 @@ def main() -> None:
     ap.add_argument("--phase-json", default=None,
                     help="write per-phase wall-clock + the cross-setup "
                          "pivot to this JSON file")
+    ap.add_argument("--attackers", nargs="*", default=None,
+                    choices=["SPAA", "PerC-AL+CompenNet++", "One-pixel_DE"],
+                    help="subset of attackers (default: all applicable; "
+                         "the reference always runs all three)")
     args = ap.parse_args()
     plog = PhaseLog(args.phase_json)
 
@@ -163,6 +167,8 @@ def main() -> None:
     attackers = ["SPAA", "PerC-AL+CompenNet++"]
     if args.sim:
         attackers.append("One-pixel_DE")  # simulator provides the capture loop
+    if args.attackers:
+        attackers = [a for a in attackers if a in args.attackers]
 
     def _procams_for(s):
         return sim_procams.get(s, procams)

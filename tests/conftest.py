@@ -22,6 +22,31 @@ import numpy as np
 import pytest
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--nightly", action="store_true", default=False,
+        help="also run the multi-minute e2e tests marked 'nightly' "
+             "(equivalent: SPAA_NIGHTLY=1)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: takes >30s (informational only)")
+    config.addinivalue_line(
+        "markers", "nightly: multi-minute e2e; skipped unless --nightly "
+                   "or SPAA_NIGHTLY=1 (suite wall-clock budget is ~25 min)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--nightly") or os.environ.get("SPAA_NIGHTLY"):
+        return
+    skip = pytest.mark.skip(
+        reason="nightly e2e (run with --nightly or SPAA_NIGHTLY=1)")
+    for item in items:
+        if "nightly" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -21,7 +21,33 @@ def _load_main():
     return mod
 
 
+def test_main_workflow_steps_1_to_3_smoke(tmp_path, monkeypatch):
+    """Default-suite smoke of the operator workflow's plumbing: setup
+    creation, sync test + synthetic capture, and the clean-scene
+    classifier-agreement gate (ref ``main.py:19-135``) — without the
+    train/attack/summarize phases the nightly 1-10 e2e covers."""
+    root = str(tmp_path / "data")
+    mod = _load_main()
+    argv = ["main.py", "--data-root", root, "--setup-name", "wf",
+            "--steps", "1-3",
+            "--sim-size", "64", "64", "64", "48",
+            "--num-train", "8",
+            "--classifiers", "resnet18"]
+    monkeypatch.setattr(sys, "argv", argv)
+    mod.main()
+
+    setup = join(root, "setups/wf")
+    from spaa_tpu.utils.config import OmegaConf
+    info = OmegaConf.load(join(setup, "setup_info.yml"))
+    assert list(info["prj_im_sz"]) == [64, 64]
+    assert os.path.isdir(join(root, "setups/sync_test/cam/raw/numbers"))
+    # step 2's synthetic capture follows the reference dir contract
+    for sub in ["cam/raw/ref", "cam/raw/train", "cam/raw/test", "cam/raw/cb"]:
+        assert os.listdir(join(setup, sub)), sub
+
+
 @pytest.mark.slow
+@pytest.mark.nightly
 def test_main_workflow_steps_1_to_10(tmp_path, monkeypatch):
     root = str(tmp_path / "data")
     mod = _load_main()

@@ -474,11 +474,17 @@ def test_spaa_attack_multi_setup_matches_sequential():
             np.stack(ws[:1]), np.stack(dts[:1]), mesh=mesh, cfg=cfg)
 
 
+@pytest.mark.slow
+@pytest.mark.nightly
 def test_run_spaa_attack_multi_setup_matches_sequential_driver(tmp_path):
     """Deployment wrapper: two synthetic setups attacked as one 2-device
     shard_map wave must reproduce the sequential driver's saved sweep
     outputs (same trained PCNets via the shared checkpoint cache; saved
-    uint8 PNGs compared pixelwise)."""
+    uint8 PNGs compared pixelwise).
+
+    nightly (~4 min): the cheap primitive-level equivalences
+    (test_spaa_attack_multi_setup_matches_sequential et al.) stay in the
+    default suite; this one re-proves the full driver-vs-wave contract."""
     import glob
     import shutil
     from os.path import join
@@ -595,9 +601,13 @@ def test_percal_attack_multi_setup_matches_sequential():
                                    err_msg=f"setup {s} prj_best")
 
 
+@pytest.mark.slow
+@pytest.mark.nightly
 def test_run_percal_attack_multi_setup_matches_sequential_driver(tmp_path):
     """PerC-AL deployment wrapper vs the sequential driver: two synthetic
-    setups, shared CompenNet++ checkpoints, saved PNGs compared."""
+    setups, shared CompenNet++ checkpoints, saved PNGs compared.
+
+    nightly (~4 min): see the SPAA twin above for why this is opt-in."""
     import glob
     import shutil
     from os.path import join
