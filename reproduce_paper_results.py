@@ -82,6 +82,13 @@ def main() -> None:
     ap.add_argument("--keep-existing-imgs", action="store_true",
                     help="recompute stats but skip montages that already "
                          "exist (montage writes dominate recreate time)")
+    ap.add_argument("--summarize-only", action="store_true",
+                    help="skip training and attacks; re-summarize existing "
+                         "attack outputs (combine with --keep-existing-imgs "
+                         "for a stats-only table recreate — the reference "
+                         "offers this via recreate_stats_and_imgs in "
+                         "summarize_all_attackers, ref "
+                         "reproduce_paper_results.py:71)")
     ap.add_argument("--multi-setup-train", action="store_true",
                     help="train the setups' PCNets several-at-a-time as "
                          "one SPMD program (parallel/multi_setup.py) "
@@ -173,7 +180,7 @@ def main() -> None:
     def _procams_for(s):
         return sim_procams.get(s, procams)
 
-    for attacker_name in attackers:
+    for attacker_name in [] if args.summarize_only else attackers:
         cfg = get_attacker_cfg(attacker_name, data_root, setup_list,
                                load_pretrained=args.load_pretrained)
         if attacker_name == "One-pixel_DE":
@@ -213,6 +220,7 @@ def main() -> None:
                 "attackers": attackers,
                 "multi_setup_train": bool(args.multi_setup_train),
                 "multi_setup_attack": bool(args.multi_setup_attack),
+                "summarize_only": bool(args.summarize_only),
                 "stats_all_rows": int(len(table)),
                 "pivot": json.loads(
                     pivot.reset_index().to_json(orient="records"))})

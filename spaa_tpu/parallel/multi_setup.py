@@ -159,10 +159,10 @@ def _compiled_multi_setup_programs(model_apply, tx, loss_option: str,
                 return (p, o), (loss, l2)
             (p, o), (losses, l2s) = jax.lax.scan(
                 body, (params_stk, opt_stk), (idx_all, iters_all))
-            return p, losses, l2s
+            return p, o, losses, l2s
 
         return _maybe_shard_map(
-            run, (P(axis), P(None, axis), P(None, axis)))
+            run, (P(axis), P(axis), P(None, axis), P(None, axis)))
 
     return _maybe_shard_map(
         lambda p, o, inp, tgt, sc, mk, idx, itr:
@@ -178,7 +178,8 @@ def train_pcnet_multi_setup(model_apply: Callable, params_list, tx,
                             loss_option: str = "l1+ssim",
                             curriculum_iter: int = 400,
                             use_scan: Optional[bool] = None,
-                            variant: str = "pcnet"):
+                            variant: str = "pcnet",
+                            segment: Optional[int] = 200):
     """Train S independent PCNets as one SPMD program.
 
     model_apply: the shared Flax apply, ``model.apply(vars, prj, scene,
@@ -201,6 +202,10 @@ def train_pcnet_multi_setup(model_apply: Callable, params_list, tx,
     ``use_scan``: as in ``train_model_scan`` — on the CPU backend XLA runs
     scan bodies without the intra-op thread pool, so there the jitted
     step is dispatched from Python (same trajectory).
+    ``segment``: max iterations per scan dispatch (default 200, matching
+    the production ``valid_rate`` segments; None = one dispatch). A
+    single multi-thousand-iter dispatch executes >100 s on-device and
+    networked TPU backends can kill the worker as hung.
     """
     num_setups = len(params_list)
     if mesh is not None and num_setups % mesh.devices.size != 0:
@@ -235,9 +240,26 @@ def train_pcnet_multi_setup(model_apply: Callable, params_list, tx,
         run = _compiled_multi_setup_programs(
             model_apply, tx, loss_option, curriculum_iter, variant,
             mesh, axis, True)
-        params_stk, losses, l2s = run(params_stk, opt_stk, inputs,
-                                      targets, scenes, masks, idx_all,
-                                      iters_all)
+        # Execute the scan in production-sized segments (one dispatch ≈
+        # ``segment`` iters), exactly like ``train_model_scan``'s
+        # valid_rate segments: a single 2000-iter dispatch runs >100 s
+        # on-device, which networked TPU backends can kill as a hung
+        # worker (observed: axon "TPU worker process crashed" mid-wave).
+        # Same trajectory — the segments thread (params, opt) through.
+        n = int(idx_all.shape[0])
+        seg = n if segment is None else max(1, min(int(segment), n))
+        loss_parts, l2_parts = [], []
+        for lo in range(0, n, seg):
+            hi = min(lo + seg, n)
+            params_stk, opt_stk, loss, l2 = run(
+                params_stk, opt_stk, inputs, targets, scenes, masks,
+                idx_all[lo:hi], iters_all[lo:hi])
+            loss_parts.append(loss)
+            l2_parts.append(l2)
+        losses = (loss_parts[0] if len(loss_parts) == 1
+                  else jnp.concatenate(loss_parts))
+        l2s = (l2_parts[0] if len(l2_parts) == 1
+               else jnp.concatenate(l2_parts))
     else:
         step1 = _compiled_multi_setup_programs(
             model_apply, tx, loss_option, curriculum_iter, variant,

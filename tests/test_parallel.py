@@ -661,3 +661,46 @@ def test_run_percal_attack_multi_setup_matches_sequential_driver(tmp_path):
         im_b = np.asarray(imread_u8(pb), np.int16)
         worst = max(worst, int(np.abs(im_a - im_b).max()))
     assert worst <= 1, f"saved PerC-AL outputs differ by {worst} counts"
+
+
+def test_multi_setup_scan_segments_bitwise_equal():
+    """The wave-training scan executes in production-sized segments
+    (multi_setup.train_pcnet_multi_setup ``segment``): a single
+    multi-thousand-iter dispatch runs >100 s on-device and networked TPU
+    backends kill the worker as hung (observed on the 13-setup rehearsal).
+    Segmenting threads (params, opt) through scan dispatches — the
+    trajectory must be BITWISE identical to the one-dispatch program."""
+    import optax
+    from flax import linen as nn
+
+    from spaa_tpu.parallel import train_pcnet_multi_setup
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, scene, mask):
+            y = nn.Conv(3, (3, 3))(x)
+            return jnp.clip(y + 0.1 * scene + 0.0 * mask, 0, 1)
+
+    rng = np.random.default_rng(0)
+    S, N, H, W = 2, 12, 8, 8
+    m = Tiny()
+    params_list = [
+        m.init(jax.random.PRNGKey(s), jnp.zeros((1, H, W, 3)),
+               jnp.zeros((1, H, W, 3)), jnp.zeros((H, W, 1)))["params"]
+        for s in range(S)]
+    scenes = rng.random((S, 1, H, W, 3)).astype(np.float32)
+    masks = np.ones((S, H, W, 1), np.float32)
+    inp = rng.random((S, N, H, W, 3)).astype(np.float32)
+    tgt = rng.random((S, N, H, W, 3)).astype(np.float32)
+    idx = rng.integers(0, N, (10, 4))
+    kw = dict(mesh=None, curriculum_iter=4, use_scan=True)
+    one = train_pcnet_multi_setup(m.apply, params_list, optax.adam(1e-3),
+                                  scenes, masks, inp, tgt, idx,
+                                  segment=None, **kw)
+    seg = train_pcnet_multi_setup(m.apply, params_list, optax.adam(1e-3),
+                                  scenes, masks, inp, tgt, idx,
+                                  segment=3, **kw)   # 3,3,3,1 dispatches
+    for xa, xb in zip(jax.tree.leaves(one[0]), jax.tree.leaves(seg[0])):
+        assert np.array_equal(np.asarray(xa), np.asarray(xb))
+    assert np.array_equal(one[1], seg[1])
+    assert np.array_equal(one[2], seg[2])
